@@ -1,0 +1,40 @@
+from typing import Any, Dict
+
+from ..registry import BACKBONES, CLASSIFIERS, build_from_config
+from . import backbones, heads  # noqa: F401  (populate registries)
+from .base import EpisodeSetting, MethodBase, ModelType
+
+
+def build_method(config: Dict[str, Any]) -> MethodBase:
+    """Config → method instance (reference trainer.py:426-453 assembles the
+    classifier with way/shot×augment_times/query/emb_func kwargs via
+    reflection; here it's the same YAML surface over explicit registries)."""
+    precision = config.get("precision", "bf16")
+    backbone_extra = {"num_channels": 1 if config.get("modality") == "audio" else 3}
+    bk_kwargs = dict(config["backbone"].get("kwargs") or {})
+    bk_kwargs.update({k: v for k, v in backbone_extra.items() if k not in bk_kwargs})
+    if precision == "fp32":
+        import jax.numpy as jnp
+
+        bk_kwargs.setdefault("dtype", jnp.float32)
+    emb_func = BACKBONES.build(config["backbone"]["name"], **bk_kwargs)
+
+    cls_kwargs = dict(config["classifier"].get("kwargs") or {})
+    cls_kwargs["emb_func"] = emb_func
+    return CLASSIFIERS.build(config["classifier"]["name"], **cls_kwargs)
+
+
+def train_setting(config: Dict[str, Any]) -> EpisodeSetting:
+    """Train-time episode geometry; shot is inflated by augment_times
+    (reference trainer.py:444-447)."""
+    return EpisodeSetting(
+        way=config["way_num"],
+        shot=config["shot_num"] * config.get("augment_times", 1),
+        query=config["query_num"],
+    )
+
+
+def eval_setting(config: Dict[str, Any]) -> EpisodeSetting:
+    return EpisodeSetting(
+        way=config["test_way"], shot=config["test_shot"], query=config["test_query"]
+    )

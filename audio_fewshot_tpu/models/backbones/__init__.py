@@ -1,0 +1,12 @@
+"""Backbone registry — embedding networks over [N, C, F, T] spectrograms.
+
+Reference registry: libfewshot_core/model/backbone/__init__.py (13 nets).
+"""
+
+from . import conv_four  # noqa: F401  (registers Conv64F/Conv32F/R2D2Embedding/Conv64F_MCL)
+
+from ...registry import BACKBONES
+
+
+def get_backbone(name: str, **kwargs):
+    return BACKBONES.build(name, **kwargs)
