@@ -1,0 +1,318 @@
+"""Episodic + flat batch loaders, the ``get_dataloader`` public surface.
+
+Reference call sites (the data package itself is missing from the snapshot):
+``get_dataloader(config, mode, model_type, distribute, modality)`` returning a
+*list* of loaders of length ``dataloader_num`` (reference trainer.py:420-422,
+``zip(*self.train_loader)`` at trainer.py:159), and
+``get_mean_std(config, mode, modality)`` (reference test.py:31,397).
+
+Batch protocol:
+- train: every clip contributes ONE random segment → a fully dense
+  ``EpisodeBatch`` (fixed shapes, one jit specialization).
+- val/test: query clips contribute ALL their segments, packed into a
+  bucketed, masked query axis (the reference's ragged ``repeats`` vector,
+  utils/utils.py:429-470, becomes clip-id + mask).
+- FINETUNING model_type + train mode: flat shuffled ``FlatBatch`` with
+  global labels (reference trainer.py:87-88, finetuning/baseline.py:84-104).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..episode import EpisodeBatch, FlatBatch, local_targets, pack_ragged_episode_batch
+from ..models.base import ModelType
+from .dataset import (
+    DEFAULT_SEGMENT_FRAMES,
+    SpectrogramDataset,
+    load_mean_std,
+    load_splits,
+    parse_synthetic_root,
+)
+from .sampler import EpisodeIndices, EpisodicSampler, FlatSampler
+
+_SPLIT_INDEX = {"train": 0, "val": 1, "test": 2}
+
+
+def get_mean_std(config: Dict[str, Any], mode: str = "train", modality: str = "audio") -> Tuple[float, float]:
+    """Scalar normalization stats for this config (reference
+    ``collates.get_mean_std``; stats are per-dataset scalars, SURVEY §0)."""
+    path = config.get("mean_std_file")
+    if path and os.path.isfile(path):
+        return load_mean_std(path)
+    return 0.0, 1.0
+
+
+def build_dataset(config: Dict[str, Any], mode: str) -> SpectrogramDataset:
+    data_root = str(config.get("data_root") or "synthetic")
+    mean, std = get_mean_std(config, mode, config.get("modality", "audio"))
+    seg_frames = config.get("segment_frames", DEFAULT_SEGMENT_FRAMES)
+
+    syn = parse_synthetic_root(data_root)
+    if syn is None and not os.path.isdir(data_root):
+        syn = {"num_classes": 25, "clips_per_class": 40}
+    if syn is not None:
+        sizes = {"train": syn["num_classes"], "val": 5, "test": 8}
+        offsets = {"train": 0, "val": sizes["train"], "test": sizes["train"] + 5}
+        max_seg = 1 if mode == "train" else int(config.get("max_segments_per_clip", 8))
+        spec_shape = tuple(config.get("spec_shape") or (1, 128, seg_frames))
+        return SpectrogramDataset.synthetic(
+            num_classes=sizes[mode],
+            clips_per_class=syn["clips_per_class"],
+            segment_shape=spec_shape,
+            max_segments=max_seg,
+            seed=int(config.get("seed", 0)) + _SPLIT_INDEX[mode],
+            class_offset=offsets[mode],
+        )
+
+    split_file = config.get("class_per_split")
+    if split_file and os.path.isfile(split_file):
+        splits = load_splits(split_file)
+        all_classes = [c for s in splits for c in s]
+        classes = splits[_SPLIT_INDEX[mode]]
+        class_offset = all_classes.index(classes[0]) if classes else 0
+    else:
+        classes = None
+        class_offset = 0
+    return SpectrogramDataset.from_directory(
+        data_root,
+        classes=classes,
+        mean=mean,
+        std=std,
+        segment_frames=seg_frames,
+        class_offset=class_offset,
+    )
+
+
+class EpisodicLoader:
+    """Iterable over epochs of ``EpisodeBatch``es with background prefetch.
+
+    Host threads assemble numpy episode batches while the device computes the
+    previous step — the TPU-native replacement for the reference's
+    worker-process DataLoader + CUDA-stream prefetcher (utils.py:291-326).
+    """
+
+    def __init__(
+        self,
+        dataset: SpectrogramDataset,
+        way: int,
+        shot: int,
+        query: int,
+        episodes_per_epoch: int,
+        episode_size: int = 1,
+        mode: str = "train",
+        seed: int = 0,
+        segment_bucket_sizes: Optional[Tuple[int, ...]] = None,
+        prefetch: int = 2,
+        epoch_offset_seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.way, self.shot, self.query = way, shot, query
+        self.mode = mode
+        self.episode_size = episode_size
+        self.prefetch = prefetch
+        self.segment_bucket_sizes = segment_bucket_sizes
+        self.sampler = EpisodicSampler(
+            dataset.clips_per_class(),
+            way=way,
+            shot=shot,
+            query=query,
+            episodes_per_epoch=episodes_per_epoch,
+            episode_size=episode_size,
+            seed=seed + epoch_offset_seed,
+        )
+
+    def __len__(self) -> int:
+        return self.sampler.episodes_per_epoch // self.episode_size
+
+    # -- batch assembly -----------------------------------------------------
+
+    def _pick_segment(self, clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if self.mode == "train" and clip.shape[0] > 1:
+            return clip[rng.integers(clip.shape[0])]
+        return clip[0]
+
+    def _build_batch(
+        self, plans: List[EpisodeIndices], rng: np.random.Generator
+    ) -> EpisodeBatch:
+        ds = self.dataset
+        e = len(plans)
+        ws = self.way * self.shot
+        wq = self.way * self.query
+        seg_shape = ds.segment_shape
+        support = np.empty((e, ws) + seg_shape, dtype=np.float32)
+        global_sup = np.empty((e, ws), dtype=np.int32)
+        global_qry = np.empty((e, wq), dtype=np.int32)
+
+        if self.mode == "train":
+            query = np.empty((e, wq) + seg_shape, dtype=np.float32)
+            for i, plan in enumerate(plans):
+                s = q = 0
+                for w, cls in enumerate(plan.classes):
+                    for k in plan.support[w]:
+                        support[i, s] = self._pick_segment(ds.clips[cls][k], rng)
+                        global_sup[i, s] = cls + ds.class_offset
+                        s += 1
+                    for k in plan.query[w]:
+                        query[i, q] = self._pick_segment(ds.clips[cls][k], rng)
+                        global_qry[i, q] = cls + ds.class_offset
+                        q += 1
+            support = ds.normalize(support)
+            query = ds.normalize(query)
+            from ..episode import make_dense_episode_batch
+
+            batch = make_dense_episode_batch(
+                support, query, self.way, self.shot, self.query
+            )
+            return batch.replace(
+                global_target=np.concatenate([global_sup, global_qry], axis=1)
+            )
+
+        # eval: ragged query segments → packed + masked
+        seg_list: List[np.ndarray] = []
+        repeats = np.empty((e, wq), dtype=np.int64)
+        for i, plan in enumerate(plans):
+            s = q = 0
+            for w, cls in enumerate(plan.classes):
+                for k in plan.support[w]:
+                    support[i, s] = ds.clips[cls][k][0]
+                    global_sup[i, s] = cls + ds.class_offset
+                    s += 1
+                for k in plan.query[w]:
+                    segs = ds.clips[cls][k]
+                    seg_list.append(segs)
+                    repeats[i, q] = segs.shape[0]
+                    global_qry[i, q] = cls + ds.class_offset
+                    q += 1
+        all_segs = ds.normalize(np.concatenate(seg_list, axis=0))
+        support = ds.normalize(support)
+        batch = pack_ragged_episode_batch(
+            support,
+            all_segs,
+            repeats.reshape(-1),
+            self.way,
+            self.shot,
+            self.query,
+            bucket_sizes=self.segment_bucket_sizes,
+        )
+        return batch.replace(
+            global_target=np.concatenate([global_sup, global_qry], axis=1)
+        )
+
+    # -- iteration ----------------------------------------------------------
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[EpisodeBatch]:
+        rng = np.random.default_rng((self.sampler.seed, epoch_idx, 13))
+        plans_iter = self.sampler.epoch(epoch_idx)
+        if self.prefetch <= 0:
+            for plans in plans_iter:
+                yield self._build_batch(plans, rng)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for plans in plans_iter:
+                    q.put(self._build_batch(plans, rng))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def __iter__(self) -> Iterator[EpisodeBatch]:
+        return self.epoch(0)
+
+
+class FlatLoader:
+    """Flat classification batches for FINETUNING pretraining."""
+
+    def __init__(
+        self,
+        dataset: SpectrogramDataset,
+        batch_size: int,
+        seed: int = 0,
+        mode: str = "train",
+    ):
+        self.dataset = dataset
+        self.mode = mode
+        self.sampler = FlatSampler(dataset.clips_per_class(), batch_size, seed=seed)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[FlatBatch]:
+        ds = self.dataset
+        rng = np.random.default_rng((self.sampler.seed, epoch_idx, 17))
+        for pairs in self.sampler.epoch(epoch_idx):
+            data = np.stack(
+                [
+                    ds.clips[c][k][rng.integers(ds.clips[c][k].shape[0])]
+                    for c, k in pairs
+                ]
+            )
+            target = np.asarray([c for c, _ in pairs], dtype=np.int32)
+            yield FlatBatch(data=ds.normalize(data), target=target)
+
+    def __iter__(self) -> Iterator[FlatBatch]:
+        return self.epoch(0)
+
+
+def get_dataloader(
+    config: Dict[str, Any],
+    mode: str,
+    model_type: ModelType = ModelType.METRIC,
+    distribute: bool = False,
+    modality: str = "audio",
+) -> List[Any]:
+    """Reference public surface: returns a LIST of ``dataloader_num`` loaders
+    (the reference train loop zips them — trainer.py:159)."""
+    dataset = build_dataset(config, mode)
+    seed = int(config.get("seed", 0))
+
+    if model_type == ModelType.FINETUNING and mode == "train":
+        return [
+            FlatLoader(dataset, int(config.get("batch_size", 128)), seed=seed + i)
+            for i in range(int(config.get("dataloader_num", 1)))
+        ]
+
+    if mode == "train":
+        way = config["way_num"]
+        shot = config["shot_num"] * int(config.get("augment_times", 1))
+        query_n = config["query_num"]
+        episodes = int(config.get("train_episode", 500))
+    else:
+        way = config.get("test_way") or config["way_num"]
+        shot = config.get("test_shot") or config["shot_num"]
+        query_n = config.get("test_query") or config["query_num"]
+        episodes = int(config.get("test_episode", 600))
+
+    buckets = config.get("segment_bucket_sizes")
+    n_loaders = int(config.get("dataloader_num", 1)) if mode == "train" else 1
+    return [
+        EpisodicLoader(
+            dataset,
+            way=way,
+            shot=shot,
+            query=query_n,
+            episodes_per_epoch=episodes,
+            episode_size=int(config.get("episode_size", 1)),
+            mode=mode,
+            seed=seed + 1000 * _SPLIT_INDEX[mode] + i,
+            segment_bucket_sizes=tuple(buckets) if buckets else None,
+            prefetch=int(config.get("prefetch", 2)),
+        )
+        for i in range(n_loaders)
+    ]

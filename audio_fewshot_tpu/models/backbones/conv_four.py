@@ -55,6 +55,12 @@ class ConvNF(nn.Module):
         if self.last_pool:
             out4 = max_pool_floor(out4, 3, 3)
 
+        if 0 in out4.shape:
+            raise ValueError(
+                f"Conv64F pooled the input to an empty tensor {out4.shape}; "
+                "input spectrogram too small for the 3x stride-3 pool stack "
+                "(disable last_pool/maxpool_last2 or use larger inputs)"
+            )
         out4 = out4.astype(jnp.float32)
         if self.is_flatten:
             flat = out4.reshape(out4.shape[0], -1)

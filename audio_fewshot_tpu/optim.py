@@ -1,0 +1,204 @@
+"""Optimizers and LR schedules with torch-compatible YAML semantics.
+
+Reference surface (trainer.py:519-609): ``optimizer.name/kwargs`` builds a
+torch optimizer; ``optimizer.other: {submodule: lr}`` gives per-submodule
+learning rates (resolved with ``eval`` in the reference — here by top-level
+params key); ``lr_scheduler.name/kwargs`` builds a per-EPOCH scheduler
+(stepped once per epoch at trainer.py:108), optionally wrapped in
+``GradualWarmupScheduler`` (utils/utils.py:330-426).
+
+TPU design: the scheduler runs on the HOST (it's one float per epoch —
+exactly the reference's granularity), and the per-group learning rate enters
+the jitted train step as a traced scalar, so LR changes never trigger
+recompilation.  The jitted side is a "core" optax transform (adam moments /
+sgd momentum) whose updates are scaled by the traced per-group LR.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# -- core gradient transforms (LR applied separately) ------------------------
+
+def _core_transform(name: str, kwargs: Dict[str, Any]) -> Tuple[optax.GradientTransformation, float]:
+    """Build the LR-free part of the named optimizer.  Returns
+    (transform, base_lr).  Weight decay follows torch semantics: coupled
+    (added to the gradient) for SGD/Adam, decoupled for AdamW."""
+    kwargs = dict(kwargs or {})
+    lr = float(kwargs.pop("lr", 1e-3))
+    wd = float(kwargs.pop("weight_decay", 0.0) or 0.0)
+    name = name.lower()
+    parts = []
+    if name in ("adam", "adamw"):
+        b1, b2 = kwargs.pop("betas", (0.9, 0.999))
+        eps = float(kwargs.pop("eps", 1e-8))
+        if name == "adam" and wd:
+            parts.append(optax.add_decayed_weights(wd))  # torch Adam couples wd into grad
+        parts.append(optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps))
+        if name == "adamw" and wd:
+            parts.append(optax.add_decayed_weights(wd))
+    elif name == "sgd":
+        momentum = float(kwargs.pop("momentum", 0.0) or 0.0)
+        nesterov = bool(kwargs.pop("nesterov", False))
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    elif name == "rmsprop":
+        alpha = float(kwargs.pop("alpha", 0.99))
+        eps = float(kwargs.pop("eps", 1e-8))
+        momentum = float(kwargs.pop("momentum", 0.0) or 0.0)
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(optax.scale_by_rms(decay=alpha, eps=eps))
+        if momentum:
+            parts.append(optax.trace(decay=momentum))
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    tx = optax.chain(*parts) if parts else optax.identity()
+    return tx, lr
+
+
+class Optimizer:
+    """Per-group optimizer: core transform + traced per-group LR scaling.
+
+    ``group_lrs`` maps top-level params keys (e.g. ``emb_func``) to base LRs
+    (reference ``optimizer.other``); everything else uses the default LR.
+    """
+
+    def __init__(self, config_opt: Dict[str, Any]):
+        self.tx, self.base_lr = _core_transform(
+            config_opt.get("name", "Adam"), config_opt.get("kwargs")
+        )
+        other = config_opt.get("other") or {}
+        self.group_lrs: Dict[str, float] = {k: float(v) for k, v in other.items()}
+
+    def init(self, params) -> optax.OptState:
+        return self.tx.init(params)
+
+    def lr_tree(self, params, scale: float = 1.0) -> Dict[str, float]:
+        """Host-side per-group LR dict for the current epoch."""
+        return {
+            k: self.group_lrs.get(k, self.base_lr) * scale for k in params.keys()
+        }
+
+    def apply(self, grads, opt_state, params, lr_groups: Dict[str, jnp.ndarray]):
+        """One update step.  ``lr_groups`` values are traced scalars keyed by
+        top-level params key."""
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        scaled = {
+            k: jax.tree_util.tree_map(lambda u: -lr_groups[k] * u, sub)
+            for k, sub in updates.items()
+        }
+        params = optax.apply_updates(params, scaled)
+        return params, opt_state
+
+
+# -- epoch-level LR schedulers (torch semantics) -----------------------------
+
+class LRScheduler:
+    """Multiplier(epoch) with optional plateau feedback.  ``scale(epoch)``
+    returns the factor applied to base LRs for that epoch; call
+    ``step(metric)`` once per epoch afterwards (plateau bookkeeping)."""
+
+    def __init__(self, name: str, kwargs: Dict[str, Any], epochs: int,
+                 warmup: int = 0):
+        self.name = name
+        self.kwargs = dict(kwargs or {})
+        self.epochs = epochs
+        self.warmup = int(warmup or 0)
+        self._plateau_scale = 1.0
+        self._best: Optional[float] = None
+        self._bad = 0
+
+    def _base_scale(self, epoch: int) -> float:
+        k = self.kwargs
+        name = self.name
+        if name == "StepLR":
+            return float(k.get("gamma", 0.1)) ** (epoch // int(k.get("step_size", 30)))
+        if name == "MultiStepLR":
+            ms = sorted(k.get("milestones", []))
+            passed = sum(1 for m in ms if epoch >= int(m))
+            return float(k.get("gamma", 0.1)) ** passed
+        if name == "ExponentialLR":
+            return float(k.get("gamma", 0.95)) ** epoch
+        if name == "CosineAnnealingLR":
+            t_max = int(k.get("T_max", self.epochs or 1))
+            eta_min = float(k.get("eta_min", 0.0))
+            # relative form: eta_min treated as absolute only w.r.t. base lr=1
+            cos = 0.5 * (1 + math.cos(math.pi * min(epoch, t_max) / max(t_max, 1)))
+            return eta_min + (1.0 - eta_min) * cos
+        if name == "ConstantLR" or name is None:
+            return 1.0
+        if name == "LambdaLR":
+            # reference builds LambdaLR with an eval'd lambda string
+            fn = k.get("lr_lambda")
+            if isinstance(fn, str):
+                fn = eval(fn)  # noqa: S307 — reference parity (trainer.py:570)
+            return float(fn(epoch)) if fn else 1.0
+        if name == "ReduceLROnPlateau":
+            return 1.0  # handled by _plateau_scale
+        raise ValueError(f"unknown lr_scheduler {name!r}")
+
+    def scale(self, epoch: int) -> float:
+        base = self._base_scale(max(0, epoch - self.warmup)) * self._plateau_scale
+        if self.warmup and epoch < self.warmup:
+            # GradualWarmupScheduler: linear 1/warmup → 1 ramp (reference
+            # utils/utils.py:330-426, multiplier=1)
+            return base * float(epoch + 1) / float(self.warmup)
+        return base
+
+    def step(self, metric: Optional[float] = None) -> None:
+        if self.name != "ReduceLROnPlateau" or metric is None:
+            return
+        k = self.kwargs
+        mode = k.get("mode", "min")
+        better = (
+            self._best is None
+            or (mode == "min" and metric < self._best - float(k.get("threshold", 1e-4)))
+            or (mode == "max" and metric > self._best + float(k.get("threshold", 1e-4)))
+        )
+        if better:
+            self._best = metric
+            self._bad = 0
+        else:
+            self._bad += 1
+            if self._bad > int(k.get("patience", 10)):
+                factor = float(k.get("factor", 0.1))
+                min_scale = float(k.get("min_lr", 0.0))
+                self._plateau_scale = max(self._plateau_scale * factor, min_scale)
+                self._bad = 0
+
+    # -- state for resume ---------------------------------------------------
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {
+            "plateau_scale": self._plateau_scale,
+            "best": self._best,
+            "bad": self._bad,
+        }
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        self._plateau_scale = state.get("plateau_scale", 1.0)
+        self._best = state.get("best")
+        self._bad = state.get("bad", 0)
+
+
+def build_optimizer(config: Dict[str, Any]) -> Optimizer:
+    return Optimizer(config.get("optimizer") or {"name": "Adam"})
+
+
+def build_scheduler(config: Dict[str, Any]) -> LRScheduler:
+    sched = config.get("lr_scheduler") or {"name": "ConstantLR", "kwargs": {}}
+    return LRScheduler(
+        sched.get("name", "ConstantLR"),
+        sched.get("kwargs") or {},
+        epochs=int(config.get("epoch", 1)),
+        warmup=int(config.get("warmup", 0) or 0),
+    )
