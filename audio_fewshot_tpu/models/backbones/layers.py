@@ -97,8 +97,10 @@ class DropBlock(nn.Module):
     block_size: int = 5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, gamma: float, train: bool) -> jnp.ndarray:
-        if not train or gamma <= 0.0:
+    def __call__(self, x: jnp.ndarray, gamma, train: bool) -> jnp.ndarray:
+        # gamma may be a traced scalar (batch-counter keep-rate schedule) —
+        # no python branching on its value; gamma == 0 naturally drops nothing.
+        if not train:
             return x
         rng = self.make_rng("dropblock")
         n, h, w, c = x.shape

@@ -1,0 +1,59 @@
+"""Brownian Distance Covariance pooling (DeepBDC, Xie et al., CVPR 2022).
+
+Reference: ``BDCovpool`` + ``Triuvec`` (libfewshot_core/model/backbone/utils/
+bdc_pool.py:69-92) — a bmm chain ``1·(x²∘I) + (x²∘I)·1 − 2xxᵀ`` followed by
+clamp/exp-scale/sqrt and double-centering, flagged in SURVEY §3.5 as THE
+compute hot spot of the DeepBDC flagship path.
+
+TPU re-design: the ones-matrix bmms are algebraically row/column broadcasts
+of the Gram diagonal, and double-centering is two mean-reductions — so the
+whole op collapses to ONE ``[B,d,M]×[B,M,d]`` batched matmul (MXU) plus
+elementwise/reduction epilogue that XLA fuses into it.  The reference's
+five ``O(B·d³)`` bmms become zero extra matmuls; for the shipped
+``reduce_dim: 64`` config the op is ~60× fewer FLOPs than the literal
+translation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def bdc_pool(x: jnp.ndarray, log_t: jnp.ndarray) -> jnp.ndarray:
+    """BDC matrix for flattened feature maps.
+
+    Args:
+        x: ``[B, d, M]`` feature maps (d channels, M = H·W positions).
+        log_t: scalar log-temperature (learnable; reference bdc_pool.py:45
+          initializes to ``log(1 / (2·H·W))``).
+
+    Returns: ``[B, d, d]`` double-centered BDC matrices (float32).
+    """
+    x = x.astype(jnp.float32)
+    d = x.shape[-2]
+    gram = jnp.einsum("bdm,bem->bde", x, x)  # single MXU matmul
+    diag = jnp.diagonal(gram, axis1=-2, axis2=-1)  # [B, d]
+    # squared pairwise distance between channel rows, clamped for fp safety
+    dist2 = jnp.maximum(diag[..., :, None] + diag[..., None, :] - 2.0 * gram, 0.0)
+    dcov = jnp.sqrt(jnp.exp(log_t) * dist2 + 1e-5)
+    # double centering: subtract row/col means, add grand mean
+    row = jnp.mean(dcov, axis=-1, keepdims=True)
+    col = jnp.mean(dcov, axis=-2, keepdims=True)
+    grand = jnp.mean(dcov, axis=(-2, -1), keepdims=True)
+    return dcov - row - col + grand
+
+
+def triu_indices_flat(d: int) -> np.ndarray:
+    """Flattened upper-triangular (incl. diagonal) indices of a d×d matrix,
+    row-major — matches reference Triuvec's ``triu().nonzero`` order."""
+    iu = np.triu_indices(d)
+    return (iu[0] * d + iu[1]).astype(np.int32)
+
+
+def triuvec(mat: jnp.ndarray) -> jnp.ndarray:
+    """``[..., d, d]`` → ``[..., d(d+1)/2]`` upper-triangular vectorization
+    (reference bdc_pool.py:86-92)."""
+    d = mat.shape[-1]
+    flat = mat.reshape(mat.shape[:-2] + (d * d,))
+    return jnp.take(flat, jnp.asarray(triu_indices_flat(d)), axis=-1)
