@@ -21,6 +21,15 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
 
     cls_kwargs = dict(config["classifier"].get("kwargs") or {})
     cls_kwargs["emb_func"] = emb_func
+    # episode-geometry kwargs, as the reference passes to every classifier
+    # (trainer.py:442-453: way_num, shot_num*augment_times, query_num)
+    for key, val in (
+        ("way_num", config.get("way_num")),
+        ("shot_num", (config.get("shot_num") or 0) * config.get("augment_times", 1) or None),
+        ("query_num", config.get("query_num")),
+    ):
+        if val is not None:
+            cls_kwargs.setdefault(key, val)
     return CLASSIFIERS.build(config["classifier"]["name"], **cls_kwargs)
 
 

@@ -43,6 +43,7 @@ class BasicBlock3(nn.Module):
     drop_block: bool = False
     block_size: int = 5
     drop_schedule_steps: int = 40000  # reference ramp: 20 * 2000 batches
+    use_running_statistics: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -52,7 +53,10 @@ class BasicBlock3(nn.Module):
             self.planes, (3, 3), padding="SAME", use_bias=False,
             dtype=self.dtype, name=name,
         )(v)
-        bn = lambda v, name: BatchNorm(dtype=self.dtype, name=name)(v, train)
+        bn = lambda v, name: BatchNorm(
+            use_running_statistics=self.use_running_statistics,
+            dtype=self.dtype, name=name,
+        )(v, train)
 
         out = act(bn(conv(x, "conv1"), "bn1"))
         out = act(bn(conv(out, "conv2"), "bn2"))
@@ -115,6 +119,7 @@ class ResNet12(nn.Module):
     dropblock_size: int = 5
     keep_prob: float = 1.0
     num_channels: int = 1
+    use_running_statistics: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -123,6 +128,7 @@ class ResNet12(nn.Module):
         common = dict(
             drop_rate=self.drop_rate,
             block_size=self.dropblock_size,
+            use_running_statistics=self.use_running_statistics,
             dtype=self.dtype,
         )
         x = BasicBlock3(self.planes[0], name="layer1", **common)(x, train)
@@ -167,6 +173,7 @@ class ResNet12Dense(nn.Module):
     drop_rate: float = 0.0
     dropblock_size: int = 3
     num_channels: int = 1
+    use_running_statistics: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -174,6 +181,7 @@ class ResNet12Dense(nn.Module):
         x = to_nhwc(x).astype(self.dtype)
         common = dict(
             drop_rate=self.drop_rate, block_size=self.dropblock_size,
+            use_running_statistics=self.use_running_statistics,
             dtype=self.dtype,
         )
         x = BasicBlock3(self.planes[0], name="layer1", **common)(x, train)
@@ -229,6 +237,7 @@ class ResNet12BDC(nn.Module):
     drop_rate: float = 0.0
     dropblock_size: int = 5
     num_channels: int = 1
+    use_running_statistics: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -236,6 +245,7 @@ class ResNet12BDC(nn.Module):
         x = to_nhwc(x).astype(self.dtype)
         common = dict(
             drop_rate=self.drop_rate, block_size=self.dropblock_size,
+            use_running_statistics=self.use_running_statistics,
             dtype=self.dtype,
         )
         x = BasicBlock3(64, name="layer1", **common)(x, train)

@@ -28,6 +28,7 @@ class BasicBlock2(nn.Module):
 
     planes: int
     stride: int = 1
+    use_running_statistics: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -35,18 +36,18 @@ class BasicBlock2(nn.Module):
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding="SAME", use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
+        out = BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
+        out = BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn2")(out, train)
         residual = x
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = BatchNorm(dtype=self.dtype, name="downsample_bn")(residual, train)
+            residual = BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="downsample_bn")(residual, train)
         return nn.relu(out + residual)
 
 
@@ -57,6 +58,7 @@ class ResNet18(nn.Module):
     is_feature: bool = False
     last_block_stride: int = 2
     num_channels: int = 1
+    use_running_statistics: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -82,7 +84,7 @@ class ResNet18(nn.Module):
         x = maybe_mix(x, 0)
         x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(BatchNorm(dtype=self.dtype, name="bn1")(x, train))
+        x = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(x, train))
 
         feats = []
         strides = (1, 2, 2, self.last_block_stride)
@@ -92,6 +94,7 @@ class ResNet18(nn.Module):
             for b in range(n_blocks):
                 x = BasicBlock2(
                     planes, stride=strides[stage] if b == 0 else 1,
+                    use_running_statistics=self.use_running_statistics,
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x, train)
             x = maybe_mix(x, stage + 1)
@@ -121,6 +124,7 @@ class ResNet18BDC(nn.Module):
 
     reduce_dim: int = 64
     num_channels: int = 1
+    use_running_statistics: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -128,13 +132,14 @@ class ResNet18BDC(nn.Module):
         x = to_nhwc(x).astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(BatchNorm(dtype=self.dtype, name="bn1")(x, train))
+        x = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         strides = (1, 2, 1, 1)
         for stage, planes in enumerate((64, 128, 256, 512)):
             for b in range(2):
                 x = BasicBlock2(
                     planes, stride=strides[stage] if b == 0 else 1,
+                    use_running_statistics=self.use_running_statistics,
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x, train)
         x = x.astype(jnp.float32)

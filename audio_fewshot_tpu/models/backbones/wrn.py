@@ -24,17 +24,18 @@ class WRNBlock(nn.Module):
     planes: int
     stride: int = 1
     drop_rate: float = 0.0
+    use_running_statistics: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         equal_in_out = x.shape[-1] == self.planes
-        pre = nn.relu(BatchNorm(dtype=self.dtype, name="bn1")(x, train))
+        pre = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(x, train))
         # pre-activation feeds the shortcut only when channels change
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding="SAME", use_bias=False, dtype=self.dtype,
                       name="conv1")(pre)
-        out = nn.relu(BatchNorm(dtype=self.dtype, name="bn2")(out, train))
+        out = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn2")(out, train))
         if self.drop_rate > 0:
             out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
         out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
@@ -56,6 +57,7 @@ class WideResNet(nn.Module):
     is_flatten: bool = True
     avg_pool: bool = True
     num_channels: int = 1
+    use_running_statistics: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -71,10 +73,11 @@ class WideResNet(nn.Module):
             for b in range(n):
                 x = WRNBlock(
                     w, stride=(1 if g == 0 else 2) if b == 0 else 1,
-                    drop_rate=self.drop_rate, dtype=self.dtype,
-                    name=f"block{g + 1}_{b}",
+                    drop_rate=self.drop_rate,
+                    use_running_statistics=self.use_running_statistics,
+                    dtype=self.dtype, name=f"block{g + 1}_{b}",
                 )(x, train)
-        x = nn.relu(BatchNorm(dtype=self.dtype, name="bn1")(x, train))
+        x = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(x, train))
         x = x.astype(jnp.float32)
         if self.avg_pool:
             x = jnp.max(x, axis=(1, 2), keepdims=not self.is_flatten)

@@ -99,8 +99,8 @@ class MethodBase:
         sub = self.emb_func.init(rngs, x[:1], train=True)
         self._merge_init(variables, "emb_func", sub)
 
-        feats = self.emb_func.apply(
-            {k: v["emb_func"] for k, v in variables.items() if "emb_func" in v},
+        feats, _ = self.apply_module(
+            variables, "emb_func",
             x[: max(2, setting.way * (setting.shot + 1))],
             train=False,
         )
@@ -139,9 +139,14 @@ class MethodBase:
         rngs = self._rngs(rng) if rng is not None else None
         if rngs:
             rngs.pop("params")
-        if train and "batch_stats" in sub:
+        if "batch_stats" in sub:
+            # always mutable: batch-stat-only BN (torch momentum=1 semantics,
+            # e.g. RelationLayer) writes batch_stats even in eval — but only
+            # train-time updates are folded back into the variable tree.
             out, mut = module.apply(sub, *args, train=train, rngs=rngs, mutable=["batch_stats"], **kw)
-            return out, {"batch_stats": {name: mut["batch_stats"]}}
+            if train:
+                return out, {"batch_stats": {name: mut["batch_stats"]}}
+            return out, {}
         out = module.apply(sub, *args, train=train, rngs=rngs, **kw)
         return out, {}
 

@@ -5,3 +5,9 @@ Reference exports: libfewshot_core/model/{metric,meta,finetuning}/__init__.py
 """
 
 from . import proto_net  # noqa: F401
+from . import meta_baseline  # noqa: F401
+from . import dn4  # noqa: F401
+from . import relation_net  # noqa: F401
+from . import r2d2  # noqa: F401
+from . import deepbdc  # noqa: F401
+from . import maml  # noqa: F401

@@ -1,0 +1,122 @@
+"""DeepBDC — prototypes over Brownian-distance-covariance features, plus the
+framework's energy-based OOD detection machinery.
+
+Reference: libfewshot_core/model/metric/deepbdc.py — ProtoLayer switching
+euclidean (shot > 1) ↔ dot-product (1-shot) at :37-53; energy uncertainty
+``-logsumexp(avg_logits)`` (:319), validation-calibrated threshold = mean of
+per-batch 95 % quantiles over *correct* predictions (:381-442, 'mean'
+policy), top-20 % most-uncertain queries flagged OOD (:343-344).  The TTA
+re-classification loop lives in the Test harness (reference test.py:331-500).
+
+TPU design: the per-episode Python loop (:302-307) is one einsum; the
+calibration pass is a jitted scan over the val loader with host-side
+quantile bookkeeping (tiny arrays).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...episode import EpisodeBatch, segment_targets
+from ...registry import CLASSIFIERS
+from ...utils.aggregate import average_logits, majority_vote
+from ..base import EpisodeSetting, LossOutput, MethodBase, ModelType, masked_cross_entropy
+from .proto_net import prototypes
+
+
+def bdc_proto_logits(query_feat, support_feat, way, shot):
+    """Euclid for multi-shot, raw dot-product for 1-shot (reference
+    deepbdc.py:37-53 — unnormalized on purpose)."""
+    proto = prototypes(support_feat, way, shot)
+    if shot > 1:
+        qp = jnp.einsum("egd,ewd->egw", query_feat, proto)
+        q2 = jnp.sum(query_feat * query_feat, axis=-1)[..., None]
+        p2 = jnp.sum(proto * proto, axis=-1)[:, None, :]
+        return 2.0 * qp - q2 - p2
+    return jnp.einsum("egd,ewd->egw", query_feat, proto)
+
+
+@CLASSIFIERS.register("DeepBDC")
+class DeepBDC(MethodBase):
+    model_type = ModelType.METRIC
+    supports_energy_ood = True
+    #: fraction of most-uncertain queries flagged OOD (reference :343-344)
+    ood_fraction = 0.2
+
+    def __init__(self, emb_func, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.uncertain_global_threshold: Optional[float] = None
+        self.uncertains_mean: Optional[float] = None
+        self.uncertains_std: Optional[float] = None
+
+    # -- core ---------------------------------------------------------------
+
+    def loss(self, variables, batch, setting, rng):
+        sup, qry, updates = self.embed(variables, batch, train=True, rng=rng)
+        seg_logits = bdc_proto_logits(qry, sup, setting.way, setting.shot)
+        loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
+        return loss, LossOutput(
+            seg_logits=seg_logits,
+            metrics=self.train_metrics(seg_logits, batch),
+            updates=updates,
+        )
+
+    def forward(self, variables, batch, setting):
+        sup, qry, _ = self.embed(variables, batch, train=False)
+        return bdc_proto_logits(qry, sup, setting.way, setting.shot)
+
+    # -- energy OOD ---------------------------------------------------------
+
+    def clip_uncertainty(self, seg_logits, batch: EpisodeBatch):
+        """Per-clip energy uncertainty ``-logsumexp(avg logits)`` and
+        majority-vote correctness.  Returns ([E,Wq] uncertainty,
+        [E,Wq] bool correct)."""
+        nq = batch.num_query_clips
+        avg = average_logits(seg_logits, batch.query_clip, batch.query_mask, nq)
+        uncertains = -jax.nn.logsumexp(avg, axis=-1)
+        preds = majority_vote(seg_logits, batch.query_clip, batch.query_mask, nq)
+        return uncertains, preds == batch.query_target
+
+    def calibrate_threshold(self, variables, loader, setting: EpisodeSetting,
+                            mesh, policy: str = "mean") -> Optional[float]:
+        """Validation calibration pass (reference test.py:188 →
+        deepbdc.py:381-442).  'mean' policy: threshold = mean over batches of
+        the 95 % quantile of correct-prediction uncertainties."""
+        from ...parallel import shard_batch
+
+        @jax.jit
+        def step(variables, batch):
+            seg_logits = self.forward(variables, batch, setting)
+            return self.clip_uncertainty(seg_logits, batch)
+
+        thresholds, means, stds = [], [], []
+        for batch in loader.epoch(0):
+            u, ok = jax.device_get(step(variables, shard_batch(batch, mesh)))
+            u = np.asarray(u).ravel()
+            ok = np.asarray(ok).ravel()
+            means.append(u.mean())
+            stds.append(u.std())
+            correct = u[ok]
+            if correct.size:
+                thresholds.append(np.quantile(correct, 0.95))
+        if not thresholds:
+            return None
+        if policy == "overall":
+            self.uncertain_global_threshold = float(np.quantile(np.concatenate([np.asarray(thresholds)]), 0.95))
+        else:
+            self.uncertain_global_threshold = float(np.mean(thresholds))
+        self.uncertains_mean = float(np.mean(means))
+        self.uncertains_std = float(np.mean(stds))
+        return self.uncertain_global_threshold
+
+    def ood_mask(self, uncertains: jnp.ndarray) -> jnp.ndarray:
+        """Top-20 % most-uncertain query clips per batch (reference
+        deepbdc.py:343-344).  Static count → XLA top_k."""
+        flat = uncertains.reshape(-1)
+        k = max(1, int(self.ood_fraction * flat.shape[0]))
+        kth = jax.lax.top_k(flat, k)[0][-1]
+        return (uncertains >= kth)

@@ -1,0 +1,199 @@
+"""MAML-family meta-learners: MAML, ANIL, BOIL.
+
+Reference: libfewshot_core/model/meta/{maml,anil,boil}.py.  The reference
+implements fast weights by monkey-attribute ``.fast`` twins of every layer
+(backbone/utils/maml_module.py) and loops episodes in Python with
+``torch.autograd.grad(create_graph=True)`` (maml.py:125-161, SURVEY §3.3).
+
+TPU re-design: the inner loop is a ``jax.lax.scan`` over SGD steps on a
+params pytree, ``vmap``-ed over the episode axis; outer differentiation
+through the scan yields exact second-order gradients with no fast-weight
+machinery.  BN inside the loop uses batch statistics (the reference's
+``BatchNorm2d_fw`` momentum-1 semantics — set backbone
+``use_running_statistics: false``, SURVEY §7.3).
+
+Family deltas:
+- MAML (maml.py): adapt ALL parameters, one inner LR.
+- ANIL (anil.py:122-146): adapt the linear head only; backbone features are
+  computed ONCE outside the loop (big win — no backbone re-forward per step).
+- BOIL (boil.py:151-174): per-group LRs keyed extractor vs classifier
+  (body-only when ``classifier_lr = 0``); test modes ``Directly`` /
+  ``Once_update`` / ``NIL`` (boil.py:75-95).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...episode import segment_targets
+from ...registry import CLASSIFIERS
+from ..base import LossOutput, MethodBase, ModelType, masked_cross_entropy
+
+
+def _ce(logits, targets):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+
+
+class MAMLBase(MethodBase):
+    model_type = ModelType.META
+
+    def __init__(self, emb_func, inner_param: Optional[Dict] = None,
+                 feat_dim: Optional[int] = None, way_num: int = 5, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        inner_param = inner_param or {}
+        self.inner_lr = float(inner_param.get("lr", 1e-2))
+        self.train_iter = int(inner_param.get("train_iter", 5))
+        self.test_iter = int(inner_param.get("test_iter", 10))
+        self.way_num = way_num
+        self.modules["classifier"] = nn.Dense(way_num)
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        sub = self.modules["classifier"].init(rngs["params"], feats[:1])
+        self._merge_init(variables, "classifier", sub)
+
+    # -- pure-network application over explicit (possibly adapted) params ----
+
+    def _net(self, params: Dict[str, Any], batch_stats, x: jnp.ndarray) -> jnp.ndarray:
+        emb_vars = {"params": params["emb_func"]}
+        mutable = False
+        if batch_stats and "emb_func" in batch_stats:
+            emb_vars["batch_stats"] = batch_stats["emb_func"]
+            mutable = ["batch_stats"]
+        out = self.emb_func.apply(emb_vars, x, train=False, mutable=mutable)
+        feats = out[0] if mutable else out
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        return self._head_logits(params, feats), feats
+
+    def _head_logits(self, params, feats):
+        return self.modules["classifier"].apply(
+            {"params": params["classifier"]}, feats
+        )
+
+    # -- inner loop ---------------------------------------------------------
+
+    def _adaptable(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Subtree of params the inner loop updates (override per method)."""
+        return params
+
+    def _inner_lr_tree(self, adaptable: Dict[str, Any]):
+        return jax.tree_util.tree_map(lambda _: self.inner_lr, adaptable)
+
+    def _episode_logits(self, params, batch_stats, sup_x, sup_y, qry_x, n_steps):
+        """One episode: adapt on support, return query logits.  All inputs
+        are single-episode ([WS,...], [WS], [G,...]) — vmapped by callers."""
+        adaptable = self._adaptable(params)
+        frozen = {k: v for k, v in params.items() if k not in adaptable}
+        lr_tree = self._inner_lr_tree(adaptable)
+
+        def support_loss(adapt_p):
+            logits, _ = self._net({**frozen, **adapt_p}, batch_stats, sup_x)
+            return _ce(logits, sup_y)
+
+        def sgd_step(adapt_p, _):
+            grads = jax.grad(support_loss)(adapt_p)
+            new_p = jax.tree_util.tree_map(
+                lambda w, g, lr: w - lr * g, adapt_p, grads, lr_tree
+            )
+            return new_p, None
+
+        adapted, _ = jax.lax.scan(sgd_step, adaptable, None, length=n_steps)
+        logits, _ = self._net({**frozen, **adapted}, batch_stats, qry_x)
+        return logits
+
+    # -- method API ---------------------------------------------------------
+
+    def _run(self, variables, batch, setting, n_steps):
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        episode_fn = partial(self._episode_logits, params, batch_stats)
+        seg_logits = jax.vmap(episode_fn, in_axes=(0, 0, 0, None))(
+            batch.support, batch.support_target, batch.query, n_steps
+        )
+        return seg_logits
+
+    def loss(self, variables, batch, setting, rng):
+        seg_logits = self._run(variables, batch, setting, self.train_iter)
+        loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
+        return loss, LossOutput(
+            seg_logits=seg_logits,
+            metrics=self.train_metrics(seg_logits, batch),
+            updates=None,
+        )
+
+    def forward(self, variables, batch, setting):
+        return self._run(variables, batch, setting, self.test_iter)
+
+
+@CLASSIFIERS.register("MAML")
+class MAML(MAMLBase):
+    """Full-network fast weights (reference maml.py)."""
+
+
+@CLASSIFIERS.register("ANIL")
+class ANIL(MAMLBase):
+    """Head-only adaptation with frozen, precomputed features (reference
+    anil.py:122-146) — the backbone runs ONCE per episode batch."""
+
+    def _run(self, variables, batch, setting, n_steps):
+        sup_f, qry_f, _ = self.embed(variables, batch, train=False)
+        params = variables["params"]
+
+        def episode_fn(sup_feats, sup_y, qry_feats):
+            head0 = {"classifier": params["classifier"]}
+            lr_tree = jax.tree_util.tree_map(lambda _: self.inner_lr, head0)
+
+            def support_loss(hp):
+                return _ce(self._head_logits(hp, sup_feats), sup_y)
+
+            def sgd_step(hp, _):
+                grads = jax.grad(support_loss)(hp)
+                return (
+                    jax.tree_util.tree_map(
+                        lambda w, g, lr: w - lr * g, hp, grads, lr_tree
+                    ),
+                    None,
+                )
+
+            adapted, _ = jax.lax.scan(sgd_step, head0, None, length=n_steps)
+            return self._head_logits(adapted, qry_feats)
+
+        return jax.vmap(episode_fn)(sup_f, batch.support_target, qry_f)
+
+
+@CLASSIFIERS.register("BOIL")
+class BOIL(MAMLBase):
+    """Body-only inner loop: per-group LRs (reference boil.py:151-174;
+    ``classifier_lr`` usually 0)."""
+
+    def __init__(self, emb_func, inner_param: Optional[Dict] = None, **kwargs):
+        super().__init__(emb_func, inner_param=inner_param, **kwargs)
+        inner_param = inner_param or {}
+        self.extractor_lr = float(inner_param.get("extractor_lr", self.inner_lr))
+        self.classifier_lr = float(inner_param.get("classifier_lr", 0.0))
+        self.test_mode = str(inner_param.get("test_mode", "Once_update"))
+
+    def _inner_lr_tree(self, adaptable):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: self.extractor_lr if k == "emb_func" else self.classifier_lr,
+                sub,
+            )
+            for k, sub in adaptable.items()
+        }
+
+    def forward(self, variables, batch, setting):
+        # reference test modes (boil.py:75-95): Directly = no adaptation,
+        # Once_update = one body step, NIL = drop the head, cosine-match
+        # query features against adapted support features
+        if self.test_mode == "Directly":
+            return self._run(variables, batch, setting, 0)
+        return self._run(variables, batch, setting, 1)
