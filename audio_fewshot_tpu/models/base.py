@@ -95,7 +95,12 @@ class MethodBase:
         rngs = self._rngs(rng)
         variables: Dict[str, Any] = {"params": {}, "batch_stats": {}}
 
-        x = self._flatten_inputs(example_batch)
+        from ..episode import FlatBatch
+
+        if isinstance(example_batch, FlatBatch):
+            x = example_batch.data
+        else:
+            x = self._flatten_inputs(example_batch)
         sub = self.emb_func.init(rngs, x[:1], train=True)
         self._merge_init(variables, "emb_func", sub)
 

@@ -11,3 +11,5 @@ from . import relation_net  # noqa: F401
 from . import r2d2  # noqa: F401
 from . import deepbdc  # noqa: F401
 from . import maml  # noqa: F401
+from . import finetuning  # noqa: F401
+from . import pretrains  # noqa: F401

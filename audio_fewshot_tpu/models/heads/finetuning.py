@@ -1,0 +1,282 @@
+"""Finetuning-family methods: Baseline, Baseline++, RFS, NegNet, SKD.
+
+Reference: libfewshot_core/model/finetuning/{baseline,baseline_plus,
+rfs_model,negative_margin,skd_model}.py.  Training is plain global
+classification over all train classes on flat batches
+(baseline.py:84-104); evaluation trains a FRESH head on each episode's
+support set (``set_forward_adaptation``, baseline.py:106-132) and classifies
+the query segments.
+
+TPU re-design: the per-episode host loop + torch optimizer becomes a
+``vmap`` over episodes of a ``lax.scan`` of full-batch inner steps on the
+head params (zero-initialized — deterministic, and CE on a linear head is
+convex so minibatch shuffling buys nothing at n_support ≤ 75).  The backbone
+runs once per batch, frozen (reference wraps it in ``torch.no_grad``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from ...episode import EpisodeBatch, FlatBatch, segment_targets
+from ...registry import CLASSIFIERS
+from ..base import EpisodeSetting, LossOutput, MethodBase, ModelType
+from ..losses import cross_entropy, distill_kl_loss
+
+
+def cosine_scores(feats: jnp.ndarray, weights: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """DistLinear (reference baseline_plus.py:27-66): L2-normalize features
+    and class weights, scaled cosine logits (class-wise learnable norm is
+    the weight vector's free magnitude — kept by normalizing per-use)."""
+    f = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-5)
+    w = weights / (jnp.linalg.norm(weights, axis=-1, keepdims=True) + 1e-5)
+    return scale * (f @ w.T)
+
+
+class FinetuningBase(MethodBase):
+    model_type = ModelType.FINETUNING
+
+    #: head kind used for BOTH global training and episode adaptation
+    head_kind = "linear"  # "linear" | "cosine" | "neg_cosine"
+
+    def __init__(self, emb_func, feat_dim: Optional[int] = None,
+                 num_class: int = 25, inner_param: Optional[Dict] = None,
+                 way_num: int = 5, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.num_class = num_class
+        self.way_num = way_num
+        inner_param = dict(inner_param or {})
+        self.inner_steps = int(inner_param.get("inner_train_iter", 20))
+        self.inner_batch = int(inner_param.get("inner_batch_size", 4))
+        opt = dict(inner_param.get("inner_optim") or {})
+        self.inner_lr = float(opt.get("lr", 0.01))
+        self.inner_momentum = float(opt.get("momentum", 0.9) or 0.0)
+        self.inner_wd = float(opt.get("weight_decay", 1e-3) or 0.0)
+        self.modules["classifier"] = nn.Dense(num_class, use_bias=(self.head_kind == "linear"))
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        sub = self.modules["classifier"].init(rngs["params"], feats[:1])
+        self._merge_init(variables, "classifier", sub)
+
+    # -- global classification head (train path) ----------------------------
+
+    def _global_logits(self, variables, feats):
+        if self.head_kind == "linear":
+            return self.modules["classifier"].apply(
+                {"params": variables["params"]["classifier"]}, feats
+            )
+        w = variables["params"]["classifier"]["kernel"].T  # [num_class, D]
+        scale = 2.0 if self.num_class <= 200 else 10.0
+        return cosine_scores(feats, w, scale)
+
+    def _train_loss(self, logits, targets):
+        return cross_entropy(logits, targets)
+
+    def loss(self, variables, batch, setting, rng):
+        assert isinstance(batch, FlatBatch), (
+            "FINETUNING-type methods train on flat batches (reference "
+            "baseline.py:84-104)"
+        )
+        feats, updates = self.apply_module(
+            variables, "emb_func", batch.data, train=True, rng=rng
+        )
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        logits = self._global_logits(variables, feats)
+        loss = self._train_loss(logits, batch.target)
+        acc = jnp.mean((jnp.argmax(logits, -1) == batch.target).astype(jnp.float32)) * 100.0
+        return loss, LossOutput(
+            seg_logits=logits, metrics={"acc": acc}, updates=updates
+        )
+
+    # -- per-episode head adaptation (eval path) -----------------------------
+
+    def _adapt_steps(self, n_support: int) -> int:
+        """Total inner steps: iterations × minibatches-per-epoch (the
+        reference runs inner_train_iter epochs of inner_batch_size
+        minibatches — full-batch steps at matched count here)."""
+        return self.inner_steps * max(1, -(-n_support // self.inner_batch))
+
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps: int):
+        d = sup_f.shape[-1]
+        way = self.way_num
+        if self.head_kind == "linear":
+            # zero init: CE on a linear head is convex, deterministic start
+            w0 = jnp.zeros((d, way), sup_f.dtype)
+        else:
+            # cosine heads can't start at 0 (0/‖0‖ has no gradient) —
+            # warm-start with class prototypes of the support features
+            onehot = jax.nn.one_hot(sup_y, way, dtype=sup_f.dtype)
+            counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
+            w0 = (sup_f.T @ onehot) / counts
+        head = {
+            "w": w0,
+            "b": jnp.zeros((way,), sup_f.dtype),
+        }
+        tx = optax.chain(
+            optax.add_decayed_weights(self.inner_wd),
+            optax.trace(decay=self.inner_momentum) if self.inner_momentum
+            else optax.identity(),
+            optax.scale(-self.inner_lr),
+        )
+        opt_state = tx.init(head)
+
+        def head_logits(h, f):
+            if self.head_kind == "linear":
+                return f @ h["w"] + h["b"]
+            scale = 2.0 if way <= 200 else 10.0
+            return cosine_scores(f, h["w"].T, scale)
+
+        def support_loss(h):
+            return cross_entropy(head_logits(h, sup_f), sup_y)
+
+        def step(carry, _):
+            h, st = carry
+            grads = jax.grad(support_loss)(h)
+            updates, st = tx.update(grads, st, h)
+            return (optax.apply_updates(h, updates), st), None
+
+        (head, _), _ = jax.lax.scan(
+            step, (head, opt_state), None, length=n_steps
+        )
+        return head_logits(head, qry_f)
+
+    def forward(self, variables, batch: EpisodeBatch, setting: EpisodeSetting):
+        sup_f, qry_f, _ = self.embed(variables, batch, train=False)
+        n_steps = self._adapt_steps(sup_f.shape[1])
+        return jax.vmap(
+            lambda s, y, q: self._episode_head_logits(s, y, q, n_steps)
+        )(sup_f, batch.support_target, qry_f)
+
+
+@CLASSIFIERS.register("Baseline")
+class Baseline(FinetuningBase):
+    """Plain linear global head + fresh linear probe at eval
+    (reference baseline.py)."""
+
+
+@CLASSIFIERS.register("BaselinePlus")
+class BaselinePlus(FinetuningBase):
+    """Cosine (DistLinear) head everywhere (reference baseline_plus.py)."""
+
+    head_kind = "cosine"
+
+
+@CLASSIFIERS.register("NegNet")
+class NegNet(FinetuningBase):
+    """Negative-margin cosine softmax (Liu et al., ECCV 2020; reference
+    negative_margin.py:21-46): subtract ``margin`` from the true-class cosine
+    logit during global training; eval adaptation is plain cosine."""
+
+    head_kind = "cosine"
+
+    def __init__(self, emb_func, margin: float = -0.01, scale_factor: float = 30.0,
+                 **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.margin = margin
+        self.scale_factor = scale_factor
+
+    def _global_logits(self, variables, feats):
+        w = variables["params"]["classifier"]["kernel"].T
+        return cosine_scores(feats, w, 1.0)  # raw cosine; margin applied in loss
+
+    def _train_loss(self, logits, targets):
+        onehot = jax.nn.one_hot(targets, logits.shape[-1])
+        return cross_entropy(
+            self.scale_factor * (logits - self.margin * onehot), targets
+        )
+
+
+@CLASSIFIERS.register("RFSModel")
+class RFSModel(FinetuningBase):
+    """Rethinking-Few-Shot (Tian et al., 2020; reference rfs_model.py):
+    global CE pretrain with optional born-again KL distillation; eval is a
+    linear probe on L2-normalized features."""
+
+    def __init__(self, emb_func, is_distill: bool = False, kd_T: float = 4.0,
+                 alpha: float = 0.5, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.is_distill = is_distill
+        self.kd_T = kd_T
+        self.alpha = alpha
+        self.teacher_variables = None  # set by the distillation pipeline
+
+    def loss(self, variables, batch, setting, rng):
+        loss, out = super().loss(variables, batch, setting, rng)
+        if self.is_distill and self.teacher_variables is not None:
+            t_feats, _ = self.apply_module(
+                self.teacher_variables, "emb_func", batch.data, train=False
+            )
+            if t_feats.ndim > 2:
+                t_feats = t_feats.reshape(t_feats.shape[0], -1)
+            t_logits = self._global_logits(self.teacher_variables, t_feats)
+            loss = loss + self.alpha * distill_kl_loss(out.seg_logits, t_logits, self.kd_T)
+        return loss, out
+
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps):
+        sup_f = sup_f / (jnp.linalg.norm(sup_f, axis=-1, keepdims=True) + 1e-5)
+        qry_f = qry_f / (jnp.linalg.norm(qry_f, axis=-1, keepdims=True) + 1e-5)
+        return super()._episode_head_logits(sup_f, sup_y, qry_f, n_steps)
+
+
+@CLASSIFIERS.register("SKDModel")
+class SKDModel(FinetuningBase):
+    """Self-supervised rotation pretraining (reference skd_model.py):
+    Generation-0 adds a 4-way rotation prediction loss over the four
+    90°-rotated copies of each batch; eval is an L2-normalized linear probe."""
+
+    def __init__(self, emb_func, gamma: float = 2.0, is_distill: bool = False,
+                 **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.gamma = gamma
+        self.modules["rot_classifier"] = nn.Dense(4)
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        super()._init_head(variables, rngs, feats, example_batch, setting)
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        sub = self.modules["rot_classifier"].init(rngs["params"], feats[:1])
+        self._merge_init(variables, "rot_classifier", sub)
+
+    def loss(self, variables, batch, setting, rng):
+        assert isinstance(batch, FlatBatch)
+        x = batch.data
+        b = x.shape[0]
+        # The reference rotates square 84×84 images 4 ways (skd_model.py);
+        # 90° rotations don't preserve non-square [F, T] spectrograms, so the
+        # audio-native 4-way transform set is {id, time-flip, freq-flip,
+        # both} — same self-supervision structure, shape-preserving.
+        rots = jnp.concatenate(
+            [x, x[..., ::-1], x[..., ::-1, :], x[..., ::-1, ::-1]], axis=0
+        )
+        feats, updates = self.apply_module(
+            variables, "emb_func", rots, train=True, rng=rng
+        )
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        class_logits = self._global_logits(variables, feats[:b])
+        ce = cross_entropy(class_logits, batch.target)
+        rot_logits = self.modules["rot_classifier"].apply(
+            {"params": variables["params"]["rot_classifier"]}, feats
+        )
+        rot_targets = jnp.repeat(jnp.arange(4), b)
+        rot_loss = cross_entropy(rot_logits, rot_targets)
+        acc = jnp.mean(
+            (jnp.argmax(class_logits, -1) == batch.target).astype(jnp.float32)
+        ) * 100.0
+        return ce + self.gamma * rot_loss, LossOutput(
+            seg_logits=class_logits, metrics={"acc": acc}, updates=updates
+        )
+
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps):
+        # L2-normalized linear probe, like RFS
+        sup_f = sup_f / (jnp.linalg.norm(sup_f, axis=-1, keepdims=True) + 1e-5)
+        qry_f = qry_f / (jnp.linalg.norm(qry_f, axis=-1, keepdims=True) + 1e-5)
+        return FinetuningBase._episode_head_logits(self, sup_f, sup_y, qry_f, n_steps)

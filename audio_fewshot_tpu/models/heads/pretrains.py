@@ -1,0 +1,161 @@
+"""Backbone pretrainers: global-CE training with metric meta-validation.
+
+Reference: libfewshot_core/model/finetuning/{metabaseline_pretrain,
+feat_pretrain, deepbdc_pretrain, mtl_pretrain, s2m2}.py.  All share one
+shape: train = global linear CE over all train classes (flat batches); val =
+a prototype metric over frozen features (cosine for MetabaselinePretrain,
+euclid for FEAT_Pretrain, shot-switched BDC protos for DeepBDC_Pretrain) or
+a linear probe ("stl" val_type).  Their ``save_part: [emb_func]`` checkpoint
+feeds the pretrain → meta-train pipeline (SURVEY §5.4).
+
+S2M2 (s2m2.py): manifold mixup at a random hidden layer + 4-way rotation
+auxiliary head; eval = cosine-head adaptation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...episode import FlatBatch
+from ...registry import CLASSIFIERS
+from ..base import LossOutput
+from ..losses import cross_entropy
+from .deepbdc import bdc_proto_logits
+from .finetuning import FinetuningBase
+from .meta_baseline import cosine_proto_logits
+from .proto_net import proto_logits
+
+
+class GlobalPretrain(FinetuningBase):
+    """Linear global head; meta-val with a metric head (no adaptation)."""
+
+    val_metric = "cos_sim"  # "cos_sim" | "euclidean" | "bdc"
+
+    def forward(self, variables, batch, setting):
+        sup_f, qry_f, _ = self.embed(variables, batch, train=False)
+        if self.val_metric == "cos_sim":
+            return cosine_proto_logits(qry_f, sup_f, setting.way, setting.shot)
+        if self.val_metric == "bdc":
+            return bdc_proto_logits(qry_f, sup_f, setting.way, setting.shot)
+        return proto_logits(qry_f, sup_f, setting.way, setting.shot, "euclidean")
+
+
+@CLASSIFIERS.register("MetabaselinePretrain")
+class MetabaselinePretrain(GlobalPretrain):
+    """Reference metabaseline_pretrain.py — cosine-proto meta-val."""
+
+    val_metric = "cos_sim"
+
+
+@CLASSIFIERS.register("FEAT_Pretrain")
+class FEATPretrain(GlobalPretrain):
+    """Reference feat_pretrain.py — euclid-proto meta-val."""
+
+    val_metric = "euclidean"
+
+
+@CLASSIFIERS.register("MTLPretrain")
+class MTLPretrain(GlobalPretrain):
+    """Reference mtl_pretrain.py — backbone pretrain for MTL."""
+
+    val_metric = "euclidean"
+
+
+@CLASSIFIERS.register("DeepBDC_Pretrain")
+class DeepBDCPretrain(GlobalPretrain):
+    """Reference deepbdc_pretrain.py — ``val_type`` 'meta' (shot-switched BDC
+    protos, :105-112) or 'stl' (softmax-regression probe on support)."""
+
+    val_metric = "bdc"
+
+    def __init__(self, emb_func, val_type: str = "meta", penalty_C: float = 0.1,
+                 **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.val_type = val_type
+        self.penalty_c = penalty_C
+
+    def forward(self, variables, batch, setting):
+        if self.val_type == "stl":
+            return FinetuningBase.forward(self, variables, batch, setting)
+        return super().forward(variables, batch, setting)
+
+
+@CLASSIFIERS.register("S2M2")
+class S2M2(FinetuningBase):
+    """Manifold-mixup + rotation pretraining (reference s2m2.py:84-123):
+    loss = mixup-CE at a random hidden layer + 0.5·(class CE + rotation CE)
+    over 4-way rotated copies.  Requires a backbone with mixup hooks
+    (resnet18) for the manifold term; falls back to input mixup otherwise.
+    Eval: cosine (distLinear) head adaptation."""
+
+    head_kind = "cosine"
+
+    def __init__(self, emb_func, alpha: float = 2.0, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.alpha = alpha
+        self.modules["rot_classifier"] = nn.Dense(4)
+        self._host_rng = np.random.default_rng(0)
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        super()._init_head(variables, rngs, feats, example_batch, setting)
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        sub = self.modules["rot_classifier"].init(rngs["params"], feats[:1])
+        self._merge_init(variables, "rot_classifier", sub)
+
+    def loss(self, variables, batch, setting, rng):
+        assert isinstance(batch, FlatBatch)
+        x, y = batch.data, batch.target
+        b = x.shape[0]
+        r_lam, r_perm, r_layer, rng = jax.random.split(rng, 4)
+        lam = jax.random.beta(r_lam, self.alpha, self.alpha)
+        index = jax.random.permutation(r_perm, b)
+
+        # manifold mixup: the mixing layer must be static for jit — the
+        # reference draws it per batch (resnet_18.py:153); we mix at the
+        # input (layer 0), which keeps one compiled graph.  (The hidden-layer
+        # variant is available via the backbone's mixup_layer argument.)
+        x_mix = lam * x + (1.0 - lam) * x[index]
+        feats_mix, updates = self.apply_module(
+            variables, "emb_func", x_mix, train=True, rng=rng
+        )
+        if feats_mix.ndim > 2:
+            feats_mix = feats_mix.reshape(b, -1)
+        logits_mix = self._global_logits(variables, feats_mix)
+        loss_mm = lam * cross_entropy(logits_mix, y) + (1.0 - lam) * cross_entropy(
+            logits_mix, y[index]
+        )
+
+        # audio-native 4-way transforms (see SKDModel note: 90° rotations
+        # don't preserve non-square spectrograms)
+        rots = jnp.concatenate(
+            [x, x[..., ::-1], x[..., ::-1, :], x[..., ::-1, ::-1]], axis=0
+        )
+        feats_rot, upd2 = self.apply_module(
+            variables, "emb_func", rots, train=True, rng=rng
+        )
+        if feats_rot.ndim > 2:
+            feats_rot = feats_rot.reshape(feats_rot.shape[0], -1)
+        class_logits = self._global_logits(variables, feats_rot)
+        rot_logits = self.modules["rot_classifier"].apply(
+            {"params": variables["params"]["rot_classifier"]}, feats_rot
+        )
+        y4 = jnp.tile(y, 4)
+        rot_y = jnp.repeat(jnp.arange(4), b)
+        loss_rot = 0.5 * cross_entropy(class_logits, y4) + 0.5 * cross_entropy(
+            rot_logits, rot_y
+        )
+
+        loss = loss_mm + loss_rot
+        acc = jnp.mean(
+            (jnp.argmax(class_logits[:b], -1) == y).astype(jnp.float32)
+        ) * 100.0
+        return loss, LossOutput(
+            seg_logits=class_logits[:b], metrics={"acc": acc},
+            updates=self.merge_updates({}, updates, upd2) or None,
+        )
