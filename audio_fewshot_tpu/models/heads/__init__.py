@@ -13,3 +13,7 @@ from . import deepbdc  # noqa: F401
 from . import maml  # noqa: F401
 from . import finetuning  # noqa: F401
 from . import pretrains  # noqa: F401
+from . import local_metrics  # noqa: F401
+from . import feat  # noqa: F401
+from . import frn  # noqa: F401
+from . import dsn  # noqa: F401
