@@ -16,6 +16,7 @@ import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .data import get_dataloader
@@ -60,6 +61,11 @@ class Test:
 
         self.variables = self._load_model()
         self._jit_eval_step = jax.jit(self._eval_step, static_argnames=("setting",))
+        self._jit_tta_step = jax.jit(self._tta_eval_step, static_argnames=("setting",))
+
+        self.enhance_via_energy = bool(config.get("enhance_classification_via_energy", False))
+        self.num_augmentations = int(config.get("num_augmentations", 10))
+        self.tta_mean, self.tta_std = 0.0, 1.0
 
     def _load_model(self):
         self.rng, init_rng = jax.random.split(self.rng)
@@ -81,15 +87,82 @@ class Test:
         seg_logits = self.method.forward(variables, batch, setting)
         return self.method.eval_episode_accuracy(seg_logits, batch)
 
+    def _tta_eval_step(self, variables, batch, rng, setting: EpisodeSetting):
+        """Energy-OOD + TTA re-classification (reference test.py:331-500):
+        flag the top-20 % most-uncertain query clips, add
+        ``num_augmentations`` noise-suppressed copies of each flagged clip's
+        first segment to its vote pool, and re-take the majority vote.
+        All static shapes — the flagged count is a fixed fraction."""
+        from .ops.audio_augmentations import batch_augment_spectrogram
+        from .utils.aggregate import clip_vote_counts
+
+        method = self.method
+        sup_f, qry_f, _ = method.embed(variables, batch, train=False)
+        seg_logits = method.feature_logits(sup_f, qry_f, setting)
+
+        e = batch.num_episodes
+        wq = batch.num_query_clips
+        uncertains, _ = method.clip_uncertainty(seg_logits, batch)
+        k = max(1, int(method.ood_fraction * e * wq))
+        _, top_idx = jax.lax.top_k(uncertains.reshape(-1), k)
+        ep_idx = top_idx // wq
+        clip_idx = top_idx % wq
+
+        # first valid segment of each flagged clip
+        is_clip = (batch.query_clip[ep_idx] == clip_idx[:, None]) & (
+            batch.query_mask[ep_idx] > 0
+        )
+        first_pos = jnp.argmax(is_clip, axis=1)
+        segments = batch.query[ep_idx, first_pos]  # [K, C, H, W]
+
+        aug = batch_augment_spectrogram(
+            rng, segments, self.tta_mean, self.tta_std,
+            num_augmentations=self.num_augmentations,
+            augmentation_type="noise_suppression",
+        )
+        aug_f = method.embed_segments(variables, aug).reshape(
+            k, self.num_augmentations, -1
+        )
+        # each flagged clip acts as a tiny episode vs its own support set
+        aug_logits = method.feature_logits(sup_f[ep_idx], aug_f, setting)
+
+        votes = clip_vote_counts(
+            seg_logits, batch.query_clip, batch.query_mask, wq
+        )  # [E, Wq, way]
+        way = votes.shape[-1]
+        aug_votes = jax.nn.one_hot(
+            jnp.argmax(aug_logits, axis=-1), way
+        ).sum(axis=1)  # [K, way]
+        votes = votes.at[ep_idx, clip_idx].add(aug_votes)
+        preds = jnp.argmax(votes, axis=-1).astype(jnp.int32)
+        return jnp.mean(
+            (preds == batch.query_target).astype(jnp.float32), axis=-1
+        ) * 100.0
+
     def test_loop(self) -> Tuple[float, float]:
         cfg = self.config
         n_epochs = int(cfg.get("test_epoch", 5))
 
+        energy = self.enhance_via_energy and getattr(
+            self.method, "supports_energy_ood", False
+        )
         if getattr(self.method, "supports_energy_ood", False):
             self.logger.info("============ Calibration pass on the val set ============")
-            self.method.calibrate_threshold(
+            th = self.method.calibrate_threshold(
                 self.variables, self.val_loader[0], self.setting, self.mesh
             )
+            self.logger.info("uncertainty threshold: %s", th)
+        if energy:
+            # TTA de/re-normalization stats — the reference always uses the
+            # Clean stats here (test.py:398)
+            from .data import get_mean_std
+
+            self.tta_mean, self.tta_std = get_mean_std(cfg, "test")
+            self.logger.info(
+                "energy-OOD TTA enabled: %d augmentations, top %.0f%% flagged",
+                self.num_augmentations, 100 * self.method.ood_fraction,
+            )
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 7)
 
         epoch_means: List[float] = []
         all_accs: List[float] = []
@@ -98,7 +171,13 @@ class Test:
             accs: List[float] = []
             for batch in self.test_loader[0].epoch(epoch):
                 dev_batch = shard_batch(batch, self.mesh)
-                ep_acc = self._jit_eval_step(self.variables, dev_batch, self.setting)
+                if energy:
+                    rng, step_rng = jax.random.split(rng)
+                    ep_acc = self._jit_tta_step(
+                        self.variables, dev_batch, step_rng, self.setting
+                    )
+                else:
+                    ep_acc = self._jit_eval_step(self.variables, dev_batch, self.setting)
                 accs.extend(np.asarray(jax.device_get(ep_acc)).ravel().tolist())
             mean, ci = mean_confidence_interval(accs)
             n_eps = len(accs)

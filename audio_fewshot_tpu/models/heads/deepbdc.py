@@ -69,6 +69,19 @@ class DeepBDC(MethodBase):
         sup, qry, _ = self.embed(variables, batch, train=False)
         return bdc_proto_logits(qry, sup, setting.way, setting.shot)
 
+    def feature_logits(self, sup_feat, qry_feat, setting):
+        """Head over precomputed features — the TTA re-classification hook
+        (reference test.py:412-420 re-runs the whole model; here augmented
+        segments reuse the episode's support features)."""
+        return bdc_proto_logits(qry_feat, sup_feat, setting.way, setting.shot)
+
+    def embed_segments(self, variables, segments):
+        """Backbone features of raw segments [N, C, H, W] → [N, D]."""
+        feats, _ = self.apply_module(variables, "emb_func", segments, train=False)
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        return feats
+
     # -- energy OOD ---------------------------------------------------------
 
     def clip_uncertainty(self, seg_logits, batch: EpisodeBatch):

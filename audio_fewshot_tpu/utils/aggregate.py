@@ -26,6 +26,21 @@ def clip_scatter_matrix(clip_id: jnp.ndarray, mask: jnp.ndarray, num_clips: int)
     return onehot * mask[..., None]
 
 
+def clip_vote_counts(
+    seg_logits: jnp.ndarray,
+    clip_id: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_clips: int,
+) -> jnp.ndarray:
+    """Per-clip vote counts ``[..., Wq, W]``: each valid segment votes its
+    argmax class."""
+    way = seg_logits.shape[-1]
+    seg_pred = jnp.argmax(seg_logits, axis=-1)
+    pred_onehot = jax.nn.one_hot(seg_pred, way, dtype=jnp.float32)
+    scatter = clip_scatter_matrix(clip_id, mask, num_clips)
+    return jnp.einsum("...gc,...gw->...cw", scatter, pred_onehot)
+
+
 def majority_vote(
     seg_logits: jnp.ndarray,
     clip_id: jnp.ndarray,
@@ -40,12 +55,7 @@ def majority_vote(
         clip_id / mask: ``[..., G]``.
     Returns: ``[..., Wq]`` int32 clip predictions.
     """
-    way = seg_logits.shape[-1]
-    seg_pred = jnp.argmax(seg_logits, axis=-1)
-    pred_onehot = jax.nn.one_hot(seg_pred, way, dtype=jnp.float32)
-    scatter = clip_scatter_matrix(clip_id, mask, num_clips)
-    # votes[..., clip, way] = sum over segments of that clip
-    votes = jnp.einsum("...gc,...gw->...cw", scatter, pred_onehot)
+    votes = clip_vote_counts(seg_logits, clip_id, mask, num_clips)
     return jnp.argmax(votes, axis=-1).astype(jnp.int32)
 
 
