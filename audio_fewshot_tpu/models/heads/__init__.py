@@ -14,6 +14,9 @@ from . import maml  # noqa: F401
 from . import finetuning  # noqa: F401
 from . import pretrains  # noqa: F401
 from . import local_metrics  # noqa: F401
+from . import mcl  # noqa: F401
+from . import kendall  # noqa: F401
+from . import atl_net  # noqa: F401
 from . import feat  # noqa: F401
 from . import frn  # noqa: F401
 from . import dsn  # noqa: F401

@@ -1,0 +1,92 @@
+"""MCL — Mutual Centralized Learning via bipartite Katz random walks
+(Liu et al., CVPR 2022).
+
+Reference: libfewshot_core/model/metric/mcl.py — cosine similarity between
+query local descriptors and class-averaged support maps forms a bipartite
+graph; row-softmax transition matrices in both directions; the Katz
+centrality ``((I − αT)⁻¹ − I)·1`` of support nodes, summed per class, is the
+prediction (bipartite_katz_forward :145-165, dense ``torch.inverse``).
+
+TPU shape: one batched ``jnp.linalg.solve`` over the [E·G] small
+``(M_s+M_q)²`` systems instead of explicit inverses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...episode import segment_targets
+from ...registry import CLASSIFIERS
+from ..base import LossOutput, MethodBase, ModelType, masked_cross_entropy
+
+
+def mcl_logits(query_feat, support_feat, way, shot, katz_factor=0.5,
+               gamma=20.0, gamma2=10.0):
+    """query [E,G,c,h,w], support [E,W*S,c,h,w] → [E,G,way] (probabilities:
+    Katz mass per class; the reference trains with NLL over their log)."""
+    e, g, c, h, w = query_feat.shape
+    hw = h * w
+    # class-averaged support maps (averaging_based_similarities, mcl.py:134-143)
+    sup = support_feat.reshape(e, way, shot, c, hw).mean(axis=2)  # [E,way,c,hw]
+    sup = sup / jnp.maximum(jnp.linalg.norm(sup, axis=2, keepdims=True), 1e-12)
+    qry = query_feat.reshape(e, g, c, hw)
+    qry = qry / jnp.maximum(jnp.linalg.norm(qry, axis=2, keepdims=True), 1e-12)
+
+    # S: [E,G, M_q=hw, M_s=way*hw]
+    s_mat = jnp.einsum("egcx,ewcy->egxwy", qry, sup).reshape(e, g, hw, way * hw)
+    m_q, m_s = hw, way * hw
+
+    t_sq = jax.nn.softmax(gamma * s_mat, axis=-1)  # [E,G,M_q,M_s] rows over support
+    t_qs = jax.nn.softmax(gamma2 * jnp.swapaxes(s_mat, -1, -2), axis=-1)  # [E,G,M_s,M_q]
+
+    n = m_s + m_q
+    top = jnp.concatenate(
+        [jnp.zeros((e, g, m_s, m_s)), jnp.swapaxes(t_sq, -1, -2)], axis=-1
+    )
+    bottom = jnp.concatenate(
+        [jnp.swapaxes(t_qs, -1, -2), jnp.zeros((e, g, m_q, m_q))], axis=-1
+    )
+    t_full = jnp.concatenate([top, bottom], axis=-2)  # [E,G,n,n]
+
+    eye = jnp.eye(n)
+    ones = jnp.ones((e, g, n, 1))
+    katz = jnp.linalg.solve(eye - katz_factor * t_full, ones)[..., 0] - 1.0
+    sup_katz = katz[..., :m_s]
+    sup_katz = sup_katz / jnp.maximum(
+        jnp.sum(sup_katz, axis=-1, keepdims=True), 1e-12
+    )
+    return sup_katz.reshape(e, g, way, hw).sum(axis=-1)
+
+
+@CLASSIFIERS.register("MCL")
+class MCL(MethodBase):
+    model_type = ModelType.METRIC
+    needs_feature_map = True
+
+    def __init__(self, emb_func, n_k: int = 1, katz_factor: float = 0.5,
+                 gamma: float = 20.0, gamma2: float = 10.0, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.katz_factor = katz_factor
+        self.gamma = gamma
+        self.gamma2 = gamma2
+
+    def _logits(self, qry, sup, setting):
+        probs = mcl_logits(qry, sup, setting.way, setting.shot,
+                           self.katz_factor, self.gamma, self.gamma2)
+        # log-probabilities (reference trains NLLLoss on log of katz mass)
+        return jnp.log(jnp.maximum(probs, 1e-12))
+
+    def loss(self, variables, batch, setting, rng):
+        sup, qry, updates = self.embed(variables, batch, train=True, rng=rng)
+        seg_logits = self._logits(qry, sup, setting)
+        loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
+        return loss, LossOutput(
+            seg_logits=seg_logits,
+            metrics=self.train_metrics(seg_logits, batch),
+            updates=updates,
+        )
+
+    def forward(self, variables, batch, setting):
+        sup, qry, _ = self.embed(variables, batch, train=False)
+        return self._logits(qry, sup, setting)
