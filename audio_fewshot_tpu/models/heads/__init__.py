@@ -17,6 +17,11 @@ from . import local_metrics  # noqa: F401
 from . import mcl  # noqa: F401
 from . import kendall  # noqa: F401
 from . import atl_net  # noqa: F401
+from . import versa  # noqa: F401
+from . import leo  # noqa: F401
+from . import mtl  # noqa: F401
+from . import metal  # noqa: F401
+from . import ifsl  # noqa: F401
 from . import feat  # noqa: F401
 from . import frn  # noqa: F401
 from . import dsn  # noqa: F401
