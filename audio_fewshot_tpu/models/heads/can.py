@@ -1,0 +1,135 @@
+"""CAN — Cross Attention Networks (Hou et al., NeurIPS 2019).
+
+Reference: libfewshot_core/model/metric/can.py — class prototypes and query
+maps attend to each other through a CAM module (:124-186): position-wise
+cosine correlation [hw×hw], GAP + a 1×1-conv bottleneck produce attention
+logits, ``softmax(·/0.025)+1`` re-weights both sides; eval logit = scaled
+cosine of GAP'd attended pairs (:199-211); training adds a global-class CE
+over the attended query features through a 1×1-conv classifier (:258-266).
+(The snapshot also contains an abandoned module-scope helper using ``self``
+at :35-59 — not replicated; SURVEY §7.3.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...episode import segment_targets
+from ...registry import CLASSIFIERS
+from ..base import LossOutput, MethodBase, ModelType, masked_cross_entropy
+from ..losses import cross_entropy
+
+
+class CAM(nn.Module):
+    """Shared cross-attention over position-correlation maps (reference
+    CAM :124-186).  ``mid`` = h·w of the feature map."""
+
+    mid: int
+
+    @nn.compact
+    def __call__(self, corr, train: bool = False):
+        """corr [.., n1, n2, hw, hw] → attention [.., n1, n2, hw] (for the
+        first side; call twice with transposed corr for the other)."""
+        a = corr.mean(axis=-1)  # GAP over the partner positions
+        w1 = nn.Dense(self.mid, use_bias=True, name="conv1")
+        w2 = nn.Dense(self.mid * 1, use_bias=True, name="conv2")
+        # bottleneck per reference: hw → hw (conv1 maps hw·hw → hw in the
+        # reference's channel packing; an hw→hw dense is the per-map analogue)
+        z = nn.relu(w1(a))
+        z = w2(z)
+        att_logits = jnp.mean(corr * z[..., None], axis=-1)
+        return jax.nn.softmax(att_logits / 0.025, axis=-1) + 1.0
+
+
+@CLASSIFIERS.register("CAN")
+class CAN(MethodBase):
+    model_type = ModelType.METRIC
+    needs_feature_map = True
+
+    def __init__(self, emb_func, scale_cls: float = 7.0,
+                 iter_num_prob: float = 35.0 / 75, num_classes: int = 25,
+                 nFeat: int = 640, HW: int = 5, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.scale_cls = scale_cls
+        self.num_classes = num_classes
+        self._hw = None  # sized at init
+        self.modules["cam"] = None
+        self.modules["global_fc"] = nn.Dense(num_classes)
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        c, h, w = feats.shape[1:]
+        hw = h * w
+        self._hw = hw
+        self.modules["cam"] = CAM(mid=hw)
+        corr = jnp.zeros((1, 2, 3, hw, hw), jnp.float32)
+        sub = self.modules["cam"].init({"params": rngs["params"]}, corr)
+        self._merge_init(variables, "cam", sub)
+        sub = self.modules["global_fc"].init(rngs["params"], jnp.zeros((1, c)))
+        self._merge_init(variables, "global_fc", sub)
+
+    def _attended(self, variables, sup, qry, way, shot):
+        """Cross-attended (proto, query) pairs.
+        Returns proto_att [E,G,way,c], qry_att [E,G,way,c]."""
+        e, ws, c, h, w = sup.shape
+        g = qry.shape[1]
+        hw = h * w
+        proto = sup.reshape(e, way, shot, c, hw).mean(axis=2)  # [E,way,c,hw]
+        q = qry.reshape(e, g, c, hw)
+
+        pn = proto / jnp.maximum(jnp.linalg.norm(proto, axis=2, keepdims=True), 1e-12)
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=2, keepdims=True), 1e-12)
+        # corr[e, way, g, hw_p, hw_q]
+        corr = jnp.einsum("ewcx,egcy->ewgxy", pn, qn)
+
+        cam = self.modules["cam"]
+        cam_vars = {"params": variables["params"]["cam"]}
+        a_p = cam.apply(cam_vars, corr)  # [E,way,G,hw_p]
+        a_q = cam.apply(cam_vars, jnp.swapaxes(corr, -1, -2))  # [E,way,G,hw_q]
+
+        proto_att = jnp.einsum("ewcx,ewgx->egwc", proto, a_p) / hw
+        qry_att = jnp.einsum("egcy,ewgy->egwc", q, a_q) / hw
+        return proto_att, qry_att
+
+    def _sims(self, proto_att, qry_att):
+        pn = proto_att / jnp.maximum(
+            jnp.linalg.norm(proto_att, axis=-1, keepdims=True), 1e-12
+        )
+        qn = qry_att / jnp.maximum(
+            jnp.linalg.norm(qry_att, axis=-1, keepdims=True), 1e-12
+        )
+        return self.scale_cls * jnp.sum(pn * qn, axis=-1)  # [E,G,way]
+
+    def loss(self, variables, batch, setting, rng):
+        sup, qry, updates = self.embed(variables, batch, train=True, rng=rng)
+        proto_att, qry_att = self._attended(variables, sup, qry, setting.way, setting.shot)
+        seg_logits = self._sims(proto_att, qry_att)
+        loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
+
+        if batch.global_target is not None:
+            # global CE over the true-class attended query features
+            targets = segment_targets(batch)
+            true_att = jnp.take_along_axis(
+                qry_att, targets[..., None, None], axis=2
+            )[..., 0, :]  # [E,G,c]
+            glogits = self.modules["global_fc"].apply(
+                {"params": variables["params"]["global_fc"]}, true_att
+            )
+            g_qry = batch.global_target[:, sup.shape[1]:]
+            if glogits.shape[:2] == g_qry.shape:
+                loss = loss + cross_entropy(
+                    glogits.reshape(-1, self.num_classes), g_qry.reshape(-1)
+                )
+        return loss, LossOutput(
+            seg_logits=seg_logits,
+            metrics=self.train_metrics(seg_logits, batch),
+            updates=updates,
+        )
+
+    def forward(self, variables, batch, setting):
+        sup, qry, _ = self.embed(variables, batch, train=False)
+        proto_att, qry_att = self._attended(variables, sup, qry, setting.way, setting.shot)
+        return self._sims(proto_att, qry_att)

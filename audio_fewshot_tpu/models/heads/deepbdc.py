@@ -47,8 +47,9 @@ class DeepBDC(MethodBase):
     #: fraction of most-uncertain queries flagged OOD (reference :343-344)
     ood_fraction = 0.2
 
-    def __init__(self, emb_func, **kwargs):
+    def __init__(self, emb_func, use_bpa: bool = False, **kwargs):
         super().__init__(emb_func, **kwargs)
+        self.use_bpa = use_bpa
         self.uncertain_global_threshold: Optional[float] = None
         self.uncertains_mean: Optional[float] = None
         self.uncertains_std: Optional[float] = None
@@ -57,6 +58,10 @@ class DeepBDC(MethodBase):
 
     def loss(self, variables, batch, setting, rng):
         sup, qry, updates = self.embed(variables, batch, train=True, rng=rng)
+        if self.use_bpa:
+            from .proto_net import apply_bpa
+
+            sup, qry = apply_bpa(sup, qry)
         seg_logits = bdc_proto_logits(qry, sup, setting.way, setting.shot)
         loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
         return loss, LossOutput(
@@ -67,6 +72,10 @@ class DeepBDC(MethodBase):
 
     def forward(self, variables, batch, setting):
         sup, qry, _ = self.embed(variables, batch, train=False)
+        if self.use_bpa:
+            from .proto_net import apply_bpa
+
+            sup, qry = apply_bpa(sup, qry)
         return bdc_proto_logits(qry, sup, setting.way, setting.shot)
 
     def feature_logits(self, sup_feat, qry_feat, setting):

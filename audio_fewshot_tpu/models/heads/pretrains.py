@@ -85,6 +85,14 @@ class DeepBDCPretrain(GlobalPretrain):
         return super().forward(variables, batch, setting)
 
 
+@CLASSIFIERS.register("FRN_Pretrain")
+class FRNPretrain(GlobalPretrain):
+    """Reference frn_pretrain.py — global CE (+aux rank) pretrain with
+    euclid-proto meta-val over pooled features."""
+
+    val_metric = "euclidean"
+
+
 @CLASSIFIERS.register("S2M2")
 class S2M2(FinetuningBase):
     """Manifold-mixup + rotation pretraining (reference s2m2.py:84-123):

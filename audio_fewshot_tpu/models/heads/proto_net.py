@@ -50,13 +50,27 @@ def proto_logits(
     raise ValueError(f"unknown proto mode {mode!r}")
 
 
+def apply_bpa(sup: jnp.ndarray, qry: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Optional BPA self-OT feature transform over each episode's
+    [support ‖ query] set (reference wires BPA behind disabled switches at
+    proto_net.py:142 / deepbdc.py:284; live here via ``use_bpa``)."""
+    from ...ops.bpa import bpa_transform
+
+    ws = sup.shape[1]
+    feats = jnp.concatenate([sup, qry], axis=1)
+    affin = bpa_transform(feats, distance="cosine")
+    return affin[:, :ws], affin[:, ws:]
+
+
 @CLASSIFIERS.register("ProtoNet")
 class ProtoNet(MethodBase):
     model_type = ModelType.METRIC
 
-    def __init__(self, emb_func, mode: str = "euclidean", **kwargs):
+    def __init__(self, emb_func, mode: str = "euclidean", use_bpa: bool = False,
+                 **kwargs):
         super().__init__(emb_func, **kwargs)
         self.mode = mode
+        self.use_bpa = use_bpa
 
     def loss(
         self,
@@ -66,6 +80,8 @@ class ProtoNet(MethodBase):
         rng: jax.Array,
     ) -> Tuple[jnp.ndarray, LossOutput]:
         sup, qry, updates = self.embed(variables, batch, train=True, rng=rng)
+        if self.use_bpa:
+            sup, qry = apply_bpa(sup, qry)
         seg_logits = proto_logits(qry, sup, setting.way, setting.shot, self.mode)
         loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
         return loss, LossOutput(
@@ -78,4 +94,6 @@ class ProtoNet(MethodBase):
         self, variables: Dict[str, Any], batch: EpisodeBatch, setting: EpisodeSetting
     ) -> jnp.ndarray:
         sup, qry, _ = self.embed(variables, batch, train=False)
+        if self.use_bpa:
+            sup, qry = apply_bpa(sup, qry)
         return proto_logits(qry, sup, setting.way, setting.shot, self.mode)

@@ -1,0 +1,241 @@
+"""RENet — Relational Embedding Networks (Kang et al., ICCV 2021).
+
+Reference: libfewshot_core/model/finetuning/renet.py — SCR (:131-233): 5×5
+self-correlation of L2-normalized features refined by a small conv stack and
+added residually; CCA (:235-343): 4-D correlation between 1×1-reduced
+query/support maps, refined by a conv module, gaussian-normalized, softmaxed
+into bidirectional attentions that re-weight the embeddings; logits = cosine
+of attended pooled embeddings / temperature.  Training combines the episodic
+CE with global-classification auxiliary losses (:404-451,
+``loss = λ_epi·epi + aux + abs``).
+
+The reference trains this episodically with global targets despite its
+FINETUNING family tag; here it is a metric-typed method consuming episodic
+batches (global targets ride in ``EpisodeBatch.global_target``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...episode import segment_targets
+from ...registry import CLASSIFIERS
+from ..backbones.layers import BatchNorm
+from ..base import LossOutput, MethodBase, ModelType, masked_cross_entropy
+from ..losses import cross_entropy
+
+
+class SCRLayer(nn.Module):
+    """Self-correlation + refinement (reference SCR/SelfCorrelationComputation)."""
+
+    channels: int = 64
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # x: [N, H, W, C] NHWC
+        n, h, w, c = x.shape
+        ident = nn.relu(x)
+        ident = ident / jnp.maximum(
+            jnp.linalg.norm(ident, axis=-1, keepdims=True), 1e-12
+        )
+        k = self.kernel
+        pad = k // 2
+        padded = jnp.pad(ident, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        # neighborhood products: [N,H,W,C,k,k]
+        patches = jnp.stack(
+            [
+                jnp.stack(
+                    [padded[:, du:du + h, dv:dv + w, :] for dv in range(k)], axis=-1
+                )
+                for du in range(k)
+            ],
+            axis=-2,
+        )  # [N,H,W,C,k,k]
+        corr = patches * ident[..., None, None]
+
+        # refinement: 1x1 in → two (k_u,k_v) convs over the (u,v) plane →
+        # 1x1 out; treat (N·H·W) as batch, (u,v) as the spatial plane
+        y = corr.reshape(n * h * w, c, self.kernel, self.kernel)
+        y = y.transpose(0, 2, 3, 1)  # [NHW, u, v, C]
+        y = nn.relu(BatchNorm(name="bn_in")(
+            nn.Conv(self.channels, (1, 1), use_bias=False, name="conv_in")(y), train))
+        y = nn.relu(BatchNorm(name="bn1")(
+            nn.Conv(self.channels, (3, 3), padding="VALID", use_bias=False,
+                    name="conv1")(y), train))
+        y = nn.relu(BatchNorm(name="bn2")(
+            nn.Conv(self.channels, (3, 3), padding="VALID", use_bias=False,
+                    name="conv2")(y), train))
+        y = y.reshape(n, h, w, self.channels)
+        y = BatchNorm(name="bn_out")(
+            nn.Conv(c, (1, 1), use_bias=False, name="conv_out")(y), train)
+        return nn.relu(x + y)
+
+
+class CCAModule(nn.Module):
+    """4-D correlation refinement convs (reference CCA, kernel [3,3],
+    planes [16, 1]) — separable convs over the (Hs,Ws) then (Hq,Wq) planes."""
+
+    @nn.compact
+    def __call__(self, corr, train: bool):
+        # corr: [B, Hs, Ws, Hq, Wq]
+        b, hs, ws, hq, wq = corr.shape
+        x = corr.reshape(b, hs, ws, hq * wq).transpose(0, 3, 1, 2)
+        x = x.reshape(b * hq * wq, hs, ws, 1)
+        x = nn.relu(nn.Conv(16, (3, 3), padding="SAME", name="conv_s")(x))
+        x = x.reshape(b, hq * wq, hs, ws, 16)
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b * hs * ws, hq, wq, 16)
+        x = nn.Conv(1, (3, 3), padding="SAME", name="conv_q")(x)
+        return x.reshape(b, hs, ws, hq, wq)
+
+
+class CCALayer(nn.Module):
+    feat_dim: int
+    temperature: float = 2.0
+    temperature_attn: float = 5.0
+
+    @nn.compact
+    def __call__(self, spt, qry, way, shot, train: bool):
+        """spt [ns, c, h, w], qry [nq, c, h, w] → ([nq, way] sims,
+        [nq, c] pooled query)."""
+        ns, c, h, w = spt.shape
+        nq = qry.shape[0]
+        spt = spt - spt.mean(axis=1, keepdims=True)
+        qry = qry - qry.mean(axis=1, keepdims=True)
+
+        r1x1_conv = nn.Conv(64, (1, 1), use_bias=False, name="cca_1x1")
+        r1x1_bn = BatchNorm(name="cca_bn")
+
+        def reduce_shared(x):
+            y = x.transpose(0, 2, 3, 1)
+            y = nn.relu(r1x1_bn(r1x1_conv(y), train))
+            return y.transpose(0, 3, 1, 2)
+
+        s_r = reduce_shared(spt)
+        q_r = reduce_shared(qry)
+        s_r = s_r / jnp.maximum(jnp.linalg.norm(s_r, axis=1, keepdims=True), 1e-8)
+        q_r = q_r / jnp.maximum(jnp.linalg.norm(q_r, axis=1, keepdims=True), 1e-8)
+        corr = jnp.einsum("scij,qckl->qsijkl", s_r, q_r)  # [nq,ns,h,w,h,w]
+
+        refined = CCAModule(name="cca_module")(
+            corr.reshape(nq * ns, h, w, h, w), train
+        ).reshape(nq, ns, h, w, h, w)
+
+        def gauss_norm(x, axes):
+            m = jnp.mean(x, axis=axes, keepdims=True)
+            v = jnp.var(x, axis=axes, keepdims=True)
+            return (x - m) / jnp.sqrt(v + 1e-5)
+
+        corr_s = gauss_norm(refined.reshape(nq, ns, h * w, h, w), (2,))
+        corr_s = jax.nn.softmax(corr_s / self.temperature_attn, axis=2)
+        corr_q = gauss_norm(refined.reshape(nq, ns, h, w, h * w), (4,))
+        corr_q = jax.nn.softmax(corr_q / self.temperature_attn, axis=4)
+
+        attn_s = corr_s.reshape(nq, ns, h, w, h, w).sum(axis=(4, 5))  # [nq,ns,h,w]
+        attn_q = corr_q.reshape(nq, ns, h, w, h, w).sum(axis=(2, 3))
+
+        spt_att = attn_s[:, :, None] * spt[None]  # [nq,ns,c,h,w]
+        qry_att = attn_q[:, :, None] * qry[:, None]
+
+        if shot > 1:
+            spt_att = spt_att.reshape(nq, way, shot, c, h, w).mean(axis=2)
+            qry_att = qry_att.reshape(nq, way, shot, c, h, w).mean(axis=2)
+        spt_att = spt_att.mean(axis=(-1, -2))  # [nq,way,c]
+        qry_att = qry_att.mean(axis=(-1, -2))
+        qry_pooled = qry.mean(axis=(-1, -2))
+
+        sn = spt_att / jnp.maximum(jnp.linalg.norm(spt_att, axis=-1, keepdims=True), 1e-8)
+        qn = qry_att / jnp.maximum(jnp.linalg.norm(qry_att, axis=-1, keepdims=True), 1e-8)
+        sims = jnp.sum(sn * qn, axis=-1) / self.temperature
+        return sims, qry_pooled
+
+
+@CLASSIFIERS.register("RENet")
+class RENet(MethodBase):
+    model_type = ModelType.METRIC
+    needs_feature_map = True
+
+    def __init__(self, emb_func, feat_dim: int = 640, num_class: int = 25,
+                 lambda_epi: float = 0.25, temperature: float = 0.2,
+                 temperature_attn: float = 5.0, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.lambda_epi = lambda_epi
+        self.num_class = num_class
+        self.modules["scr"] = SCRLayer()
+        self.modules["cca"] = CCALayer(
+            feat_dim=feat_dim, temperature=temperature,
+            temperature_attn=temperature_attn,
+        )
+        self.modules["fc"] = nn.Dense(num_class)
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        c, h, w = feats.shape[1:]
+        nhwc = jnp.zeros((2, h, w, c), jnp.float32)
+        sub = self.modules["scr"].init({"params": rngs["params"]}, nhwc, train=False)
+        self._merge_init(variables, "scr", sub)
+        spt = jnp.zeros((setting.way * setting.shot, c, h, w), jnp.float32)
+        qry = jnp.zeros((3, c, h, w), jnp.float32)
+        sub = self.modules["cca"].init(
+            {"params": rngs["params"]}, spt, qry, setting.way, setting.shot,
+            train=False,
+        )
+        self._merge_init(variables, "cca", sub)
+        sub = self.modules["fc"].init(rngs["params"], jnp.zeros((1, c)))
+        self._merge_init(variables, "fc", sub)
+
+    def _refined(self, variables, batch, setting, train, rng):
+        sup, qry, updates = self.embed(variables, batch, train=train, rng=rng)
+        e, ws, c, h, w = sup.shape
+        g = qry.shape[1]
+        flat = jnp.concatenate(
+            [sup.reshape(-1, c, h, w), qry.reshape(-1, c, h, w)], axis=0
+        ).transpose(0, 2, 3, 1)
+        refined, upd2 = self.apply_module(variables, "scr", flat, train=train, rng=rng)
+        refined = refined.transpose(0, 3, 1, 2)
+        sup_r = refined[: e * ws].reshape(e, ws, c, h, w)
+        qry_r = refined[e * ws:].reshape(e, g, c, h, w)
+        merged = self.merge_updates({}, updates, upd2) if (updates or upd2) else None
+        return sup_r, qry_r, merged
+
+    def _episode_sims(self, variables, sup, qry, way, shot, train, rng):
+        fn = lambda s, q: self.apply_module(
+            variables, "cca", s, q, way, shot, train=train, rng=rng
+        )[0]
+        return jax.vmap(fn)(sup, qry)
+
+    def loss(self, variables, batch, setting, rng):
+        sup, qry, updates = self._refined(variables, batch, setting, True, rng)
+        sims, qry_pooled = self._episode_sims(
+            variables, sup, qry, setting.way, setting.shot, True, rng
+        )
+        epi_loss = masked_cross_entropy(sims, segment_targets(batch), batch.query_mask)
+
+        loss = self.lambda_epi * epi_loss
+        if batch.global_target is not None:
+            g_qry = batch.global_target[:, sup.shape[1]:]
+            logits_aux = self.modules["fc"].apply(
+                {"params": variables["params"]["fc"]}, qry_pooled
+            )
+            # pad/gather: global targets are per-clip; dense train batches
+            # have one segment per clip so shapes line up
+            if logits_aux.shape[:2] == g_qry.shape:
+                aux = cross_entropy(
+                    logits_aux.reshape(-1, self.num_class), g_qry.reshape(-1)
+                )
+                loss = loss + aux
+        return loss, LossOutput(
+            seg_logits=sims,
+            metrics=self.train_metrics(sims, batch),
+            updates=updates,
+        )
+
+    def forward(self, variables, batch, setting):
+        sup, qry, _ = self._refined(variables, batch, setting, False, None)
+        sims, _ = self._episode_sims(
+            variables, sup, qry, setting.way, setting.shot, False, None
+        )
+        return sims

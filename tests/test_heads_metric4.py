@@ -1,0 +1,87 @@
+"""Fourth head batch: CAN, RENet, BPA transform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_fewshot_tpu.episode import make_dense_episode_batch
+from audio_fewshot_tpu.models import build_method
+from audio_fewshot_tpu.models.base import EpisodeSetting
+
+SPEC = (1, 32, 24)
+SETTING = EpisodeSetting(way=3, shot=2, query=3)
+
+
+def make_batch(seed=0, e=2):
+    rng = np.random.default_rng(seed)
+    way, shot, query = SETTING.way, SETTING.shot, SETTING.query
+    sup = rng.normal(size=(e, way * shot) + SPEC).astype(np.float32)
+    qry = rng.normal(size=(e, way * query) + SPEC).astype(np.float32)
+    b = make_dense_episode_batch(sup, qry, way, shot, query)
+    gs = np.tile(np.repeat(np.arange(way), shot)[None], (e, 1))
+    gq = np.tile(np.repeat(np.arange(way), query)[None], (e, 1))
+    return b.replace(global_target=jnp.asarray(np.concatenate([gs, gq], 1)))
+
+
+def build(classifier, **cls_kwargs):
+    return build_method({
+        "backbone": {"name": "Conv64F", "kwargs": {
+            "is_flatten": False, "last_pool": False, "maxpool_last2": False,
+            "num_channels": 1}},
+        "classifier": {"name": classifier, "kwargs": cls_kwargs or None},
+        "modality": "audio",
+        "way_num": SETTING.way, "shot_num": SETTING.shot,
+        "query_num": SETTING.query, "precision": "fp32",
+    })
+
+
+@pytest.mark.parametrize("classifier,kwargs", [
+    ("CAN", {"scale_cls": 7.0, "num_classes": 6}),
+    ("RENet", {"feat_dim": 64, "num_class": 6}),
+    ("ProtoNet", {"use_bpa": True}),
+    ("DeepBDC", {"use_bpa": True}),
+])
+def test_head_runs(classifier, kwargs):
+    method = build(classifier, **kwargs)
+    batch = make_batch()
+    variables = method.init_variables(jax.random.PRNGKey(0), batch, SETTING)
+    loss, out = method.loss(variables, batch, SETTING, jax.random.PRNGKey(1))
+    assert out.seg_logits.shape == (2, 9, 3), classifier
+    assert np.isfinite(float(loss)), classifier
+    seg_logits = method.forward(variables, batch, SETTING)
+    assert seg_logits.shape == (2, 9, 3)
+    assert np.all(np.isfinite(np.asarray(seg_logits))), classifier
+
+
+def test_bpa_transform_properties():
+    from audio_fewshot_tpu.ops.bpa import bpa_transform
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 10, 6)).astype(np.float32))
+    p = np.asarray(bpa_transform(x))
+    assert p.shape == (2, 10, 10)
+    # self-affinity forced to 1, range [0, 1]
+    np.testing.assert_allclose(np.diagonal(p, axis1=1, axis2=2), 1.0)
+    assert p.min() >= 0.0 and p.max() <= 1.0 + 1e-5
+
+
+def test_bpa_label_adjustment():
+    from audio_fewshot_tpu.ops.bpa import bpa_transform
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2])
+    p = np.asarray(bpa_transform(x, labels=labels, n_labeled=6, num_classes=3))
+    assert p[0, 1] == 1.0 and p[2, 3] == 1.0
+    assert p[0, 2] == 0.0 and p[1, 4] == 0.0
+
+
+def test_log_sinkhorn_doubly_stochastic():
+    from audio_fewshot_tpu.ops.bpa import log_sinkhorn
+
+    rng = np.random.default_rng(0)
+    cost = jnp.asarray(rng.uniform(size=(5, 5)).astype(np.float32))
+    p = np.exp(np.asarray(log_sinkhorn(cost, reg=0.5, num_iters=50)))
+    np.testing.assert_allclose(p.sum(axis=1), 1.0 / 5, atol=1e-3)
+    np.testing.assert_allclose(p.sum(axis=0), 1.0 / 5, atol=1e-3)
