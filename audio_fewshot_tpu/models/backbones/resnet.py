@@ -29,6 +29,36 @@ from .layers import BatchNorm, DropBlock, to_nchw, to_nhwc
 Dtype = Any
 
 
+class MtlConv(nn.Module):
+    """Meta-transfer conv: frozen base kernel with learnable per-output-
+    channel scale and shift (reference backbone/utils/mtl_module.py
+    ``Conv2dMtl`` — scale/shift are the only trainable parts in meta-train)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), (kh, kw, cin, self.features)
+        )
+        scale = self.param("mtl_scale", nn.initializers.ones, (1, 1, 1, self.features))
+        shift = self.param("mtl_bias", nn.initializers.zeros, (self.features,))
+        k = (jax.lax.stop_gradient(kernel) * scale).astype(self.dtype or x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(k.dtype), k, window_strides=self.strides,
+            padding=self.padding if isinstance(self.padding, str) else self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + shift.astype(y.dtype)
+
+
 class BasicBlock3(nn.Module):
     """Three conv3x3+BN with residual (reference resnet_12.py BasicBlock).
     Downsample is a 1×1 stride-1 conv+BN (spatial shrink comes from the
@@ -44,15 +74,21 @@ class BasicBlock3(nn.Module):
     block_size: int = 5
     drop_schedule_steps: int = 40000  # reference ramp: 20 * 2000 batches
     use_running_statistics: bool = True
+    mtl: bool = False  # Conv2dMtl scale/shift convs (resnet12MTLofficial)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         act = lambda v: nn.leaky_relu(v, negative_slope=0.1)
-        conv = lambda v, name: nn.Conv(
-            self.planes, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name=name,
-        )(v)
+        if self.mtl:
+            conv = lambda v, name: MtlConv(
+                self.planes, (3, 3), dtype=self.dtype, name=name
+            )(v)
+        else:
+            conv = lambda v, name: nn.Conv(
+                self.planes, (3, 3), padding="SAME", use_bias=False,
+                dtype=self.dtype, name=name,
+            )(v)
         bn = lambda v, name: BatchNorm(
             use_running_statistics=self.use_running_statistics,
             dtype=self.dtype, name=name,
@@ -120,6 +156,7 @@ class ResNet12(nn.Module):
     keep_prob: float = 1.0
     num_channels: int = 1
     use_running_statistics: bool = True
+    mtl: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -129,6 +166,7 @@ class ResNet12(nn.Module):
             drop_rate=self.drop_rate,
             block_size=self.dropblock_size,
             use_running_statistics=self.use_running_statistics,
+            mtl=self.mtl,
             dtype=self.dtype,
         )
         x = BasicBlock3(self.planes[0], name="layer1", **common)(x, train)
@@ -155,6 +193,14 @@ class ResNet12(nn.Module):
 @BACKBONES.register("resnet12")
 def resnet12(**kwargs):
     return ResNet12(**_clean(kwargs))
+
+
+@BACKBONES.register("resnet12MTLofficial")
+def resnet12mtl(**kwargs):
+    """MTL-official ResNet-12 (reference resnet_12_mtl_offcial.py): same
+    topology with Conv2dMtl scale/shift convolutions."""
+    kwargs.pop("use_MTL", None)
+    return ResNet12(mtl=True, **_clean(kwargs))
 
 
 @BACKBONES.register("resnet12woLSC")

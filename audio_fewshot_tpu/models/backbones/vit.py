@@ -1,0 +1,118 @@
+"""Vision Transformers over spectrograms.
+
+Reference: libfewshot_core/model/backbone/vit.py (standard einops ViT,
+returns the cls feature) and vit_class_aware.py (DINO-style
+``VisionTransformer`` returning the full token sequence — cls + patch
+tokens — for CPEA; ``vit_tiny``/``vit_small`` factories :368-391).
+
+Audio sizing: patch embedding is a strided conv, so any [F, T] divisible by
+the patch size works; non-divisible inputs are right/bottom-cropped (the
+audio shapes [128, 157] give 8×9 patches at patch 16).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...registry import BACKBONES
+from .layers import to_nhwc
+
+Dtype = Any
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.drop, deterministic=not train, name="attn",
+        )(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.drop, deterministic=not train)(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class VisionTransformer(nn.Module):
+    """Class-aware ViT: returns [N, 1+L, dim] token sequence when
+    ``return_tokens`` else the cls feature [N, dim]."""
+
+    patch_size: int = 16
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    return_tokens: bool = False
+    num_channels: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = to_nhwc(x).astype(self.dtype)
+        p = self.patch_size
+        n, h, w, _ = x.shape
+        x = x[:, : (h // p) * p, : (w // p) * p, :]
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), name="patch_embed")(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(n, gh * gw, self.embed_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.embed_dim)
+        ).astype(self.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.embed_dim)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, 1 + gh * gw, self.embed_dim),
+        ).astype(self.dtype)
+        x = x + pos
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+
+        for i in range(self.depth):
+            x = TransformerBlock(
+                dim=self.embed_dim, num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
+                dtype=self.dtype, name=f"block{i}",
+            )(x, train)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        if self.return_tokens:
+            return x
+        return x[:, 0]
+
+
+def _clean(kwargs):
+    return {k: v for k, v in kwargs.items() if v is not None}
+
+
+@BACKBONES.register("ViT")
+def vit(**kwargs):
+    kwargs.pop("image_size", None)
+    return VisionTransformer(**_clean(kwargs))
+
+
+@BACKBONES.register("vit_tiny")
+def vit_tiny(patch_size: int = 16, **kwargs):
+    defaults = dict(embed_dim=192, depth=12, num_heads=3, return_tokens=True)
+    defaults.update(_clean(kwargs))
+    return VisionTransformer(patch_size=patch_size, **defaults)
+
+
+@BACKBONES.register("vit_small")
+def vit_small(patch_size: int = 16, **kwargs):
+    defaults = dict(embed_dim=384, depth=12, num_heads=6, return_tokens=True)
+    defaults.update(_clean(kwargs))
+    return VisionTransformer(patch_size=patch_size, **defaults)

@@ -24,6 +24,7 @@ from . import metal  # noqa: F401
 from . import ifsl  # noqa: F401
 from . import can  # noqa: F401
 from . import renet  # noqa: F401
+from . import cpea  # noqa: F401
 from . import feat  # noqa: F401
 from . import frn  # noqa: F401
 from . import dsn  # noqa: F401
