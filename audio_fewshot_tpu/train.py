@@ -235,11 +235,24 @@ class Trainer:
         log_interval = int(cfg.get("log_interval", 100))
         episode_size = int(cfg.get("episode_size", 1))
 
+        # optional on-device profiling: trace steps [profile_start,
+        # profile_start+profile_steps) of epoch 0 (SURVEY §5.1 — the
+        # reference only has wall-clock meters; this adds a real trace)
+        profile_steps = int(cfg.get("profile_steps", 0) or 0)
+        profile_start = int(cfg.get("profile_start", 2))
+        profile_dir = os.path.join(self.log_dir, "profile")
+
         epoch_iters = [ld.epoch(epoch) for ld in self.train_loader]
         t_end = time.time()
         step = 0
         for batches in zip(*epoch_iters):
             for batch in batches:
+                if profile_steps and epoch == 0 and step == profile_start:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_steps and epoch == 0 and step == profile_start + profile_steps:
+                    jax.profiler.stop_trace()
+                    self.logger.info("profiler trace written to %s", profile_dir)
+                    profile_steps = 0
                 meter.update("data_time", time.time() - t_end)
                 self.rng, step_rng = jax.random.split(self.rng)
                 dev_batch = shard_batch(batch, self.mesh)
