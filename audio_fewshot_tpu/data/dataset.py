@@ -49,7 +49,13 @@ def load_mean_std(path: str) -> Tuple[float, float]:
 def segment_clip(spec: np.ndarray, segment_frames: int) -> np.ndarray:
     """Chop a [C, F, T] clip into ``ceil(T / segment_frames)`` fixed windows
     [n, C, F, segment_frames]; the tail window is taken right-aligned so no
-    audio is lost and every segment is full-length (MetaAudio protocol)."""
+    audio is lost and every segment is full-length (MetaAudio protocol).
+
+    1-D inputs are pre-extracted embedding vectors (the ``is_clap`` flow,
+    reference clap.py:351-386) — wrapped as a single [1, 1, 1, D] segment
+    that ``CLAPEmbeddingBackbone`` flattens back to [D]."""
+    if spec.ndim == 1:
+        return spec[None, None, None, :]
     if spec.ndim == 2:
         spec = spec[None]
     c, f, t = spec.shape

@@ -40,7 +40,8 @@ def main() -> None:
 
     # One eval batch: E episodes of 5-way 5-shot, 10 query clips/way,
     # single-segment queries (the throughput-defining dense path).
-    e = 8 * n_chips
+    # 32 episodes/chip saturates the v5e (measured: 919→1196 eps/s from 8→32).
+    e = 32 * n_chips
     way, shot, query = 5, 5, 10
     spec = (1, 128, 157)
     rng = np.random.default_rng(0)
