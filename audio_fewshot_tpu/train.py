@@ -94,6 +94,14 @@ class Trainer:
         self.best_test_acc = -1.0
         self._maybe_load_pretrain_or_resume()
 
+        # device-side train augmentation (the reference's ``augment`` key
+        # lives in its missing data package — here it is a jitted random
+        # spectrogram augmentation fused into the train step)
+        from .data import get_mean_std
+
+        self.augment = bool(config.get("augment", False)) and self.method.model_type != ModelType.FINETUNING
+        self.aug_mean, self.aug_std = get_mean_std(config, "train")
+
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("setting",), donate_argnums=(0, 1)
         )
@@ -169,8 +177,31 @@ class Trainer:
 
     # -- jitted steps -------------------------------------------------------
 
+    def _augment_batch(self, batch, rng):
+        """Random per-segment spectrogram augmentation on device."""
+        from .ops.audio_augmentations import augment_spectrogram
+
+        k_sup, k_qry = jax.random.split(rng)
+
+        def aug(x, key):
+            flat = x.reshape((-1,) + x.shape[2:])
+            keys = jax.random.split(key, flat.shape[0])
+            out = jax.vmap(
+                lambda k, s: augment_spectrogram(
+                    k, s, self.aug_mean, self.aug_std, "random"
+                )
+            )(keys, flat)
+            return out.reshape(x.shape)
+
+        return batch.replace(
+            support=aug(batch.support, k_sup), query=aug(batch.query, k_qry)
+        )
+
     def _train_step(self, variables, opt_state, batch, lr_groups, rng,
                     setting: EpisodeSetting):
+        if self.augment:
+            rng, aug_rng = jax.random.split(rng)
+            batch = self._augment_batch(batch, aug_rng)
         non_params = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(params):
