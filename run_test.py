@@ -9,11 +9,10 @@ import os
 from audio_fewshot_tpu.config import Config
 from audio_fewshot_tpu.eval import Test
 
+# reference run_test.py:137-140 defaults
 VAR_DICT = {
-    "test_epoch": 5,
-    "n_gpu": 1,
-    "test_episode": 600,
-    "episode_size": 1,
+    "test_epoch": 1,
+    "test_episode": 400,
 }
 
 
