@@ -148,8 +148,13 @@ class Test:
         )
         if getattr(self.method, "supports_energy_ood", False):
             self.logger.info("============ Calibration pass on the val set ============")
+            dump = (
+                os.path.join(self.result_path, "uncertainty_data.npz")
+                if self.result_path else None
+            )
             th = self.method.calibrate_threshold(
-                self.variables, self.val_loader[0], self.setting, self.mesh
+                self.variables, self.val_loader[0], self.setting, self.mesh,
+                dump_path=dump,
             )
             self.logger.info("uncertainty threshold: %s", th)
         if energy:

@@ -104,10 +104,13 @@ class DeepBDC(MethodBase):
         return uncertains, preds == batch.query_target
 
     def calibrate_threshold(self, variables, loader, setting: EpisodeSetting,
-                            mesh, policy: str = "mean") -> Optional[float]:
+                            mesh, policy: str = "mean",
+                            dump_path: Optional[str] = None) -> Optional[float]:
         """Validation calibration pass (reference test.py:188 →
         deepbdc.py:381-442).  'mean' policy: threshold = mean over batches of
-        the 95 % quantile of correct-prediction uncertainties."""
+        the 95 % quantile of correct-prediction uncertainties.
+        ``dump_path``: write the reference's ``uncertainty_data.npz`` side
+        artifact (deepbdc.py:421)."""
         from ...parallel import shard_batch
 
         @jax.jit
@@ -116,15 +119,22 @@ class DeepBDC(MethodBase):
             return self.clip_uncertainty(seg_logits, batch)
 
         thresholds, means, stds = [], [], []
+        all_u, all_ok = [], []
         for batch in loader.epoch(0):
             u, ok = jax.device_get(step(variables, shard_batch(batch, mesh)))
             u = np.asarray(u).ravel()
             ok = np.asarray(ok).ravel()
+            all_u.append(u)
+            all_ok.append(ok)
             means.append(u.mean())
             stds.append(u.std())
             correct = u[ok]
             if correct.size:
                 thresholds.append(np.quantile(correct, 0.95))
+        if dump_path:
+            np.savez(dump_path, uncertains=np.asarray(all_u, dtype=object),
+                     is_corrects=np.asarray(all_ok, dtype=object),
+                     allow_pickle=True)
         if not thresholds:
             return None
         if policy == "overall":

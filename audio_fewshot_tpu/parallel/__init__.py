@@ -15,8 +15,16 @@ from .mesh import (
     DATA_AXIS,
     batch_sharding,
     get_mesh,
+    maybe_init_distributed,
     replicate,
     shard_batch,
 )
 
-__all__ = ["DATA_AXIS", "batch_sharding", "get_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "get_mesh",
+    "maybe_init_distributed",
+    "replicate",
+    "shard_batch",
+]

@@ -11,6 +11,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def maybe_init_distributed(config) -> None:
+    """Multi-host SPMD bootstrap (reference: ``dist.init_process_group`` TCP
+    rendezvous, trainer.py:611-635).  JAX needs only
+    ``jax.distributed.initialize`` — coordinator/process info comes from the
+    environment or explicit config keys.  No-op unless ``multihost`` is set."""
+    if not config.get("multihost"):
+        return
+    kwargs = {}
+    for src, dst in (
+        ("coordinator_address", "coordinator_address"),
+        ("num_processes", "num_processes"),
+        ("process_id", "process_id"),
+    ):
+        if config.get(src) is not None:
+            kwargs[dst] = config[src]
+    jax.distributed.initialize(**kwargs)
+
+
 def get_mesh(n_devices: Optional[int] = None, batch_divisor: Optional[int] = None) -> Mesh:
     """1-D episode-parallel mesh over the first ``n_devices`` devices.
 

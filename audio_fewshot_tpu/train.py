@@ -30,7 +30,13 @@ from .episode import EpisodeBatch
 from .models import build_method, eval_setting, train_setting
 from .models.base import EpisodeSetting, MethodBase, ModelType
 from .optim import Optimizer, LRScheduler, build_optimizer, build_scheduler
-from .parallel import batch_sharding, get_mesh, replicate, shard_batch
+from .parallel import (
+    batch_sharding,
+    get_mesh,
+    maybe_init_distributed,
+    replicate,
+    shard_batch,
+)
 from .utils import (
     AverageMeter,
     SaveType,
@@ -64,6 +70,7 @@ class Trainer:
         self.train_setting = train_setting(config)
         self.eval_setting = eval_setting(config)
 
+        maybe_init_distributed(config)
         self.mesh = get_mesh(
             config.get("n_devices"), batch_divisor=int(config.get("episode_size", 1))
         )

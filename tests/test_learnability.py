@@ -1,0 +1,112 @@
+"""Trainability smoke across the method zoo: a few optimizer steps on
+separable synthetic episodes must reduce the loss (catches wiring bugs that
+shape tests can't — dead gradients, wrong targets, sign errors)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_fewshot_tpu.episode import FlatBatch, make_dense_episode_batch
+from audio_fewshot_tpu.models import build_method
+from audio_fewshot_tpu.models.base import EpisodeSetting, ModelType
+from audio_fewshot_tpu.optim import build_optimizer
+
+SPEC = (1, 32, 24)
+SETTING = EpisodeSetting(way=3, shot=2, query=3)
+
+
+def separable_batch(seed=0, e=2):
+    rng = np.random.default_rng(seed)
+    way, shot, query = SETTING.way, SETTING.shot, SETTING.query
+    means = rng.normal(0, 1.5, size=(way, 1, SPEC[1], 1)).astype(np.float32)
+    sup = rng.normal(size=(e, way * shot) + SPEC).astype(np.float32)
+    qry = rng.normal(size=(e, way * query) + SPEC).astype(np.float32)
+    for w in range(way):
+        sup[:, w * shot:(w + 1) * shot] += means[w]
+        qry[:, w * query:(w + 1) * query] += means[w]
+    b = make_dense_episode_batch(sup, qry, way, shot, query)
+    gs = np.tile(np.repeat(np.arange(way), shot)[None], (e, 1))
+    gq = np.tile(np.repeat(np.arange(way), query)[None], (e, 1))
+    return b.replace(global_target=jnp.asarray(np.concatenate([gs, gq], 1)))
+
+
+def flat_batch(seed=0, b=12, num_class=6):
+    rng = np.random.default_rng(seed)
+    target = rng.integers(0, num_class, size=b).astype(np.int32)
+    means = rng.normal(0, 1.5, size=(num_class, 1, SPEC[1], 1)).astype(np.float32)
+    data = rng.normal(size=(b,) + SPEC).astype(np.float32) + means[target]
+    return FlatBatch(data=jnp.asarray(data), target=jnp.asarray(target))
+
+
+HEADS = [
+    ("ProtoNet", None),
+    ("MetaBaseline", None),
+    ("DN4", {"n_k": 2}),
+    ("R2D2", None),
+    ("DeepBDC", None),
+    ("MetaBaselineKendall", None),
+    ("FRN", None),
+    ("DSN", None),
+    ("ADM_KL", {"n_k": 2}),
+    ("MCL", None),
+    ("FEAT", {"hdim": 384}),
+    ("MAML", {"inner_param": {"lr": 0.05, "train_iter": 2, "test_iter": 2}}),
+    ("ANIL", {"inner_param": {"lr": 0.1, "train_iter": 3, "test_iter": 3}}),
+    ("VERSA", {"sample_num": 4, "d_theta": 32}),
+    ("Baseline", {"num_class": 6, "inner_param": {"inner_train_iter": 2}}),
+    ("SKDModel", {"num_class": 6, "inner_param": {"inner_train_iter": 2}}),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("classifier,kwargs", HEADS)
+def test_loss_decreases(classifier, kwargs):
+    method = build_method({
+        "backbone": {"name": "Conv64F", "kwargs": {
+            "is_flatten": False, "last_pool": False, "maxpool_last2": False,
+            "num_channels": 1, "use_running_statistics": False}},
+        "classifier": {"name": classifier, "kwargs": kwargs},
+        "modality": "audio",
+        "way_num": SETTING.way, "shot_num": SETTING.shot,
+        "query_num": SETTING.query, "precision": "fp32",
+    })
+    batch = (
+        flat_batch() if method.model_type == ModelType.FINETUNING
+        else separable_batch()
+    )
+    variables = method.init_variables(jax.random.PRNGKey(0), batch, SETTING)
+    optimizer = build_optimizer(
+        {"optimizer": {"name": "Adam", "kwargs": {"lr": 2e-3}}}
+    )
+    opt_state = optimizer.init(variables["params"])
+    lr = optimizer.lr_tree(variables["params"], 1.0)
+
+    @jax.jit
+    def step(variables, opt_state, rng):
+        non_params = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            return method.loss({**non_params, "params": params}, batch, SETTING, rng)
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        params, new_opt = optimizer.apply(grads, opt_state, variables["params"], lr)
+        new_vars = {**non_params, "params": params}
+        if out.updates:
+            new_vars = method.merge_updates(new_vars, out.updates)
+        return new_vars, new_opt, loss
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(25):
+        rng, k = jax.random.split(rng)
+        variables, opt_state, loss = step(variables, opt_state, k)
+        losses.append(float(loss))
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert np.isfinite(last), (classifier, losses[-3:])
+    # either the loss went down, or it was already (and stayed) solved —
+    # strong metric heads hit ~0 CE immediately on separable data
+    assert last < first - 1e-3 or last < 0.01, (classifier, first, last)
