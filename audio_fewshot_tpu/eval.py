@@ -34,8 +34,11 @@ from .utils import (
 
 class Test:
     def __init__(self, rank: int, config: Dict[str, Any], result_path: Optional[str] = None):
+        from .train import enable_compilation_cache
+
         self.rank = rank
         self.config = config
+        enable_compilation_cache(config)
         self.result_path = result_path
         log_dir = os.path.join(result_path, "log_files") if result_path else None
         self.logger = init_logger(

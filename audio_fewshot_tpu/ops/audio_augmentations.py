@@ -34,9 +34,35 @@ AUGMENTATION_TYPES = (
 )
 
 
+#: quantile implementation: "exact" (full sort, torch.quantile parity) or
+#: "bisect" (24 compare+mean passes — VPU-only, no sort/scatter; error
+#: ≤ range/2²⁴, immaterial for the soft-sigmoid thresholds these gate)
+QUANTILE_MODE = "bisect"
+
+
+def _bisect_quantile(flat: jnp.ndarray, q, iters: int = 24) -> jnp.ndarray:
+    """Per-row quantile by bisection on the value range.  Each iteration is
+    one vectorized compare + mean over the row — the TPU-friendly shape
+    (jnp.quantile's full sort and scatter-histograms both lose badly here)."""
+    lo = jnp.min(flat, axis=-1)
+    hi = jnp.max(flat, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        frac = jnp.mean((flat <= mid[..., None]).astype(jnp.float32), axis=-1)
+        below = frac < q
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
 def _q(x: jnp.ndarray, q) -> jnp.ndarray:
     """Per-sample scalar quantile over the trailing [H, W] plane, keepdims."""
     flat = x.reshape(x.shape[:-2] + (-1,))
+    if QUANTILE_MODE == "bisect":
+        return _bisect_quantile(flat, q)[..., None, None]
     return jnp.quantile(flat, q, axis=-1)[..., None, None]
 
 
@@ -202,6 +228,32 @@ def augment_spectrogram(rng, spec, mean, std, augmentation_type: str = "random")
         )
     else:
         out = _AUG_FNS[augmentation_type](rng, denorm)
+    return (out - mean) / std
+
+
+def augment_batch_one_type(rng, specs, mean, std):
+    """Augment a whole batch with ONE randomly drawn type per call.
+
+    Per-SAMPLE random types under ``vmap`` make ``lax.switch`` compute every
+    branch for every sample (8× waste — measured 3.45 s vs 0.53 s per train
+    step).  Drawing the type once per step keeps the scalar switch outside
+    the vmap so exactly one branch runs.  Used by the train-time
+    augmentation path; sample-level randomness still comes from the
+    per-sample parameter keys."""
+    k_pick, k_aug = jax.random.split(rng)
+    idx = jax.random.randint(k_pick, (), 0, len(AUGMENTATION_TYPES))
+    denorm = specs * std + mean
+    keys = jax.random.split(k_aug, specs.shape[0])
+
+    def branch(name):
+        def run(keys, x):
+            return jax.vmap(lambda k, s: _AUG_FNS[name](k, s))(keys, x)
+
+        return run
+
+    out = jax.lax.switch(
+        idx, [branch(n) for n in AUGMENTATION_TYPES], keys, denorm
+    )
     return (out - mean) / std
 
 

@@ -53,10 +53,24 @@ from .utils import (
 from .utils.checkpoint import save_variables
 
 
+def enable_compilation_cache(config: Dict[str, Any]) -> None:
+    """Persistent XLA compilation cache — repeat CLI runs skip the slow
+    first-compile (config key ``compilation_cache``; false disables)."""
+    cache = config.get("compilation_cache", ".jax_cache")
+    if not cache:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs — not fatal
+        pass
+
+
 class Trainer:
     def __init__(self, rank: int, config: Dict[str, Any]):
         self.rank = rank
         self.config = config
+        enable_compilation_cache(config)
         self.result_dir, self.ckpt_dir, self.log_dir = self._init_files(config)
         self.logger = init_logger(
             self.log_dir,
@@ -185,19 +199,16 @@ class Trainer:
     # -- jitted steps -------------------------------------------------------
 
     def _augment_batch(self, batch, rng):
-        """Random per-segment spectrogram augmentation on device."""
-        from .ops.audio_augmentations import augment_spectrogram
+        """Random spectrogram augmentation on device — one augmentation type
+        per step (scalar switch outside the vmap; see
+        ops/audio_augmentations.augment_batch_one_type)."""
+        from .ops.audio_augmentations import augment_batch_one_type
 
         k_sup, k_qry = jax.random.split(rng)
 
         def aug(x, key):
             flat = x.reshape((-1,) + x.shape[2:])
-            keys = jax.random.split(key, flat.shape[0])
-            out = jax.vmap(
-                lambda k, s: augment_spectrogram(
-                    k, s, self.aug_mean, self.aug_std, "random"
-                )
-            )(keys, flat)
+            out = augment_batch_one_type(key, flat, self.aug_mean, self.aug_std)
             return out.reshape(x.shape)
 
         return batch.replace(
