@@ -85,8 +85,12 @@ class Trainer:
         self.eval_setting = eval_setting(config)
 
         maybe_init_distributed(config)
+        # n_gpu > 1 maps to an explicit device count (reference config parity)
+        n_dev = config.get("n_devices") or (
+            config["n_gpu"] if int(config.get("n_gpu", 1) or 1) > 1 else None
+        )
         self.mesh = get_mesh(
-            config.get("n_devices"), batch_divisor=int(config.get("episode_size", 1))
+            n_dev, batch_divisor=int(config.get("episode_size", 1))
         )
         self.n_devices = len(self.mesh.devices.ravel())
         self.logger.info(
@@ -171,6 +175,16 @@ class Trainer:
         self.rng, init_rng = jax.random.split(self.rng)
         batch = self._example_batch()
         variables = self.method.init_variables(init_rng, batch, self.train_setting)
+        if self.config.get("init_type"):
+            from .models.init import init_weights
+
+            self.rng, w_rng = jax.random.split(self.rng)
+            variables = {
+                **variables,
+                "params": init_weights(
+                    variables["params"], self.config["init_type"], w_rng
+                ),
+            }
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
         self.logger.info("model: %s / %s — %.2fM params",
                          self.config["classifier"]["name"],
