@@ -250,10 +250,15 @@ def resnet12_r2d2(**kwargs):
 class BdcHead(nn.Module):
     """1×1 reduction conv + BDC pooling + triangular vectorization
     (reference bdc_pool.py BdcPool: reduce to ``reduce_dim`` channels, BDC
-    matrix with learnable log-temperature, output d(d+1)/2)."""
+    matrix with learnable log-temperature, output d(d+1)/2).
+
+    ``fused_bdc`` selects the Pallas kernel (ops/bdc_pallas.py — whole op in
+    VMEM per batch element) over the XLA path; both are numerically
+    equivalent and equally fast at reduce_dim 64, so XLA stays default."""
 
     reduce_dim: int = 64
     activate: str = "relu"
+    fused_bdc: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -272,6 +277,10 @@ class BdcHead(nn.Module):
         )
         d = x.shape[-1]
         flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, d, h * w)
+        if self.fused_bdc:
+            from ...ops.bdc_pallas import bdc_pool_fused
+
+            return triuvec(bdc_pool_fused(flat, log_t[0, 0]))
         return triuvec(bdc_pool(flat, log_t[0, 0]))
 
 
@@ -280,6 +289,7 @@ class ResNet12BDC(nn.Module):
     stride-1 stage 4 (10×10 maps upstream) and a BDC pooling head."""
 
     reduce_dim: int = 64
+    fused_bdc: bool = False
     drop_rate: float = 0.0
     dropblock_size: int = 5
     num_channels: int = 1
@@ -299,7 +309,7 @@ class ResNet12BDC(nn.Module):
         x = BasicBlock3(320, drop_block=True, name="layer3", **common)(x, train)
         x = BasicBlock3(640, drop_block=True, use_pool=False, name="layer4", **common)(x, train)
         x = x.astype(jnp.float32)
-        return BdcHead(reduce_dim=self.reduce_dim, name="bdc_pool")(x, train)
+        return BdcHead(reduce_dim=self.reduce_dim, fused_bdc=self.fused_bdc, name="bdc_pool")(x, train)
 
 
 @BACKBONES.register("resnet12Bdc")

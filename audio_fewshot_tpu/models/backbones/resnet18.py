@@ -123,6 +123,7 @@ class ResNet18BDC(nn.Module):
     spatial resolution for the covariance)."""
 
     reduce_dim: int = 64
+    fused_bdc: bool = False
     num_channels: int = 1
     use_running_statistics: bool = True
     dtype: Dtype = jnp.bfloat16
@@ -143,7 +144,7 @@ class ResNet18BDC(nn.Module):
                     dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x, train)
         x = x.astype(jnp.float32)
-        return BdcHead(reduce_dim=self.reduce_dim, name="bdc_pool")(x, train)
+        return BdcHead(reduce_dim=self.reduce_dim, fused_bdc=self.fused_bdc, name="bdc_pool")(x, train)
 
 
 @BACKBONES.register("resnet18Bdc")

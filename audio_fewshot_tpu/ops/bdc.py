@@ -16,6 +16,7 @@ translation.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,7 +33,12 @@ def bdc_pool(x: jnp.ndarray, log_t: jnp.ndarray) -> jnp.ndarray:
     """
     x = x.astype(jnp.float32)
     d = x.shape[-2]
-    gram = jnp.einsum("bdm,bem->bde", x, x)  # single MXU matmul
+    # HIGHEST precision: the gram feeds a sqrt of differences of
+    # near-identical values — bf16 MXU default rounding puts O(1e-2) noise
+    # on the (exactly-zero) diagonal distances
+    gram = jnp.einsum(
+        "bdm,bem->bde", x, x, precision=jax.lax.Precision.HIGHEST
+    )
     diag = jnp.diagonal(gram, axis1=-2, axis2=-1)  # [B, d]
     # squared pairwise distance between channel rows, clamped for fp safety
     dist2 = jnp.maximum(diag[..., :, None] + diag[..., None, :] - 2.0 * gram, 0.0)
