@@ -33,7 +33,8 @@ def bdc_proto_logits(query_feat, support_feat, way, shot):
     deepbdc.py:37-53 — unnormalized on purpose)."""
     proto = prototypes(support_feat, way, shot)
     if shot > 1:
-        qp = jnp.einsum("egd,ewd->egw", query_feat, proto)
+        qp = jnp.einsum("egd,ewd->egw", query_feat, proto,
+                    precision=jax.lax.Precision.HIGHEST)
         q2 = jnp.sum(query_feat * query_feat, axis=-1)[..., None]
         p2 = jnp.sum(proto * proto, axis=-1)[:, None, :]
         return 2.0 * qp - q2 - p2

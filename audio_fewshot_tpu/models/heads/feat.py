@@ -55,7 +55,8 @@ class SetAttention(nn.Module):
 
 def metric_logits(query, proto, mode, temperature):
     if mode == "euclidean":
-        qp = jnp.einsum("egd,ewd->egw", query, proto)
+        qp = jnp.einsum("egd,ewd->egw", query, proto,
+                precision=jax.lax.Precision.HIGHEST)
         q2 = jnp.sum(query * query, axis=-1)[..., None]
         p2 = jnp.sum(proto * proto, axis=-1)[:, None, :]
         return (2.0 * qp - q2 - p2) / temperature

@@ -37,7 +37,8 @@ def proto_logits(
     if mode == "euclidean":
         # -||q - p||² expanded: 2 q·p - ||q||² - ||p||² — one MXU matmul
         # instead of materializing the [E,G,way,D] difference tensor.
-        qp = jnp.einsum("egd,ewd->egw", query_feat, proto)
+        qp = jnp.einsum("egd,ewd->egw", query_feat, proto,
+                    precision=jax.lax.Precision.HIGHEST)
         q2 = jnp.sum(query_feat * query_feat, axis=-1)[..., None]
         p2 = jnp.sum(proto * proto, axis=-1)[:, None, :]
         return 2.0 * qp - q2 - p2
