@@ -201,8 +201,12 @@ class Trainer:
         if cfg.get("resume"):
             path = os.path.join(self.ckpt_dir, "model_last.pth")
             if os.path.isfile(path):
-                state = load_last(path, self.variables)
+                state = load_last(path, self.variables, self.opt_state)
                 self.variables = jax.device_put(state["variables"], replicate(self.mesh))
+                if state.get("opt_state") is not None:
+                    self.opt_state = jax.device_put(
+                        state["opt_state"], replicate(self.mesh)
+                    )
                 self.start_epoch = int(state.get("epoch", 0)) + 1
                 self.best_val_acc = float(state.get("best_val_acc", -1.0))
                 self.best_test_acc = float(state.get("best_test_acc", -1.0))
@@ -375,6 +379,9 @@ class Trainer:
                 "best_val_acc": self.best_val_acc,
                 "best_test_acc": self.best_test_acc,
                 "scheduler": self.scheduler.state_dict(),
+                # full training state incl. optimizer moments (reference
+                # LAST semantics, utils/utils.py:207-265)
+                "opt_state": jax.device_get(self.opt_state),
             },
             save_part=save_part,
         )

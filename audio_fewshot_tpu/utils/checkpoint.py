@@ -103,14 +103,19 @@ def load_part(
     return merged
 
 
-def load_last(path: str, variables_template: Dict[str, Any]) -> Dict[str, Any]:
-    payload_template = {"epoch": 0, "variables": variables_template}
+def load_last(path: str, variables_template: Dict[str, Any],
+              opt_state_template: Any = None) -> Dict[str, Any]:
     with open(path, "rb") as f:
         raw = f.read()
-    # tolerate extra keys (optimizer state etc.) by deserializing loosely
+    # tolerate extra keys by deserializing loosely, then restoring the
+    # structured members against their templates
     loose = serialization.msgpack_restore(raw)
     out = dict(loose)
     out["variables"] = serialization.from_state_dict(
         variables_template, loose["variables"]
     )
+    if opt_state_template is not None and "opt_state" in loose:
+        out["opt_state"] = serialization.from_state_dict(
+            opt_state_template, loose["opt_state"]
+        )
     return out

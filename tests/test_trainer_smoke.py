@@ -73,4 +73,12 @@ def test_trainer_resume(tmp_path):
     config2["resume"] = True
     t2 = Trainer(0, config2)
     assert t2.start_epoch == 1
+    # optimizer moments resumed (adam step count carried over, not zero)
+    import jax
+
+    counts = [
+        int(x) for x in jax.tree_util.tree_leaves(t2.opt_state)
+        if getattr(x, "ndim", None) == 0 and x.dtype.kind == "i"
+    ]
+    assert any(c > 0 for c in counts), counts
     t2.train_loop(0)
