@@ -229,7 +229,7 @@ class Config:
             )
         # episode divisibility sanity checks (reference trainer.py:724-754)
         n_dev = config.get("n_devices") or config.get("n_gpu") or 1
-        if config["episode_size"] % max(1, n_dev) != 0 and config["episode_size"] >= n_dev:
+        if int(n_dev) > 1 and config["episode_size"] % int(n_dev) != 0:
             raise ValueError(
                 f"episode_size ({config['episode_size']}) must be divisible by "
                 f"the device count ({n_dev})"

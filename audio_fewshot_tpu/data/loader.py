@@ -221,8 +221,9 @@ class EpisodicLoader:
             try:
                 for plans in plans_iter:
                     q.put(self._build_batch(plans, rng))
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # propagate to the consumer
+                q.put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -230,6 +231,8 @@ class EpisodicLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def __iter__(self) -> Iterator[EpisodeBatch]:

@@ -106,12 +106,15 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws < min(h, w) else 0
         shortcut = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        if shift:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        # pad FIRST, then roll (official Swin order): the shift mask assumes
+        # wrapped content sits in the last `shift` rows/cols of the padded
+        # canvas — rolling the unpadded map misaligns it
         pad_h = (ws - h % ws) % ws
         pad_w = (ws - w % ws) % ws
         if pad_h or pad_w:
             y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         hp, wp = y.shape[1], y.shape[2]
         mask = shift_attn_mask(hp, wp, ws, shift) if shift else None
         win = window_partition(y, ws)
@@ -120,10 +123,10 @@ class SwinBlock(nn.Module):
             dtype=self.dtype, name="attn",
         )(win, mask)
         y = window_reverse(win, ws, hp, wp)
-        if pad_h or pad_w:
-            y = y[:, :h, :w]
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            y = y[:, :h, :w]
         x = shortcut + y
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)

@@ -134,8 +134,7 @@ class DeepBDC(MethodBase):
                 thresholds.append(np.quantile(correct, 0.95))
         if dump_path:
             np.savez(dump_path, uncertains=np.asarray(all_u, dtype=object),
-                     is_corrects=np.asarray(all_ok, dtype=object),
-                     allow_pickle=True)
+                     is_corrects=np.asarray(all_ok, dtype=object))
         if not thresholds:
             return None
         if policy == "overall":

@@ -190,10 +190,50 @@ class BOIL(MAMLBase):
             for k, sub in adaptable.items()
         }
 
+    def _nil_logits(self, variables, batch, setting):
+        """NIL head: drop the classifier — cosine similarity of query
+        features against adapted-body class prototypes (boil.py:86-95)."""
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+
+        def episode_fn(sup_x, sup_y, qry_x):
+            adaptable = self._adaptable(params)
+            frozen = {k: v for k, v in params.items() if k not in adaptable}
+            lr_tree = self._inner_lr_tree(adaptable)
+
+            def support_loss(adapt_p):
+                logits, _ = self._net({**frozen, **adapt_p}, batch_stats, sup_x)
+                return _ce(logits, sup_y)
+
+            grads = jax.grad(support_loss)(adaptable)
+            adapted = jax.tree_util.tree_map(
+                lambda w, g, lr: w - lr * g, adaptable, grads, lr_tree
+            )
+            merged = {**frozen, **adapted}
+            _, sup_f = self._net(merged, batch_stats, sup_x)
+            _, qry_f = self._net(merged, batch_stats, qry_x)
+            onehot = jax.nn.one_hot(sup_y, self.way_num, dtype=sup_f.dtype)
+            proto = (onehot.T @ sup_f) / jnp.maximum(
+                jnp.sum(onehot, axis=0)[:, None], 1.0
+            )
+            qn = qry_f / jnp.maximum(
+                jnp.linalg.norm(qry_f, axis=-1, keepdims=True), 1e-12
+            )
+            pn = proto / jnp.maximum(
+                jnp.linalg.norm(proto, axis=-1, keepdims=True), 1e-12
+            )
+            return qn @ pn.T
+
+        return jax.vmap(episode_fn)(
+            batch.support, batch.support_target, batch.query
+        )
+
     def forward(self, variables, batch, setting):
         # reference test modes (boil.py:75-95): Directly = no adaptation,
         # Once_update = one body step, NIL = drop the head, cosine-match
-        # query features against adapted support features
+        # query features against adapted-body class prototypes
         if self.test_mode == "Directly":
             return self._run(variables, batch, setting, 0)
+        if self.test_mode == "NIL":
+            return self._nil_logits(variables, batch, setting)
         return self._run(variables, batch, setting, 1)

@@ -21,10 +21,28 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
+import optax  # noqa: E402
 
 
 # -- core gradient transforms (LR applied separately) ------------------------
+
+def _add_decayed_weights_where_trained(wd: float) -> optax.GradientTransformation:
+    """Coupled weight decay that SKIPS leaves with identically-zero
+    gradients.  torch optimizers never see frozen (``requires_grad=False``)
+    params at all; here "frozen" surfaces as structurally-zero grads
+    (``stop_gradient`` — MtlConv base kernels, LEO's frozen backbone), and
+    plain ``add_decayed_weights`` would silently decay those pretrained
+    weights toward zero."""
+
+    def update(updates, state, params=None):
+        new = jax.tree_util.tree_map(
+            lambda g, p: g + wd * p * jnp.any(g != 0).astype(p.dtype),
+            updates, params,
+        )
+        return new, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
 
 def _core_transform(name: str, kwargs: Dict[str, Any]) -> Tuple[optax.GradientTransformation, float]:
     """Build the LR-free part of the named optimizer.  Returns
@@ -34,20 +52,21 @@ def _core_transform(name: str, kwargs: Dict[str, Any]) -> Tuple[optax.GradientTr
     lr = float(kwargs.pop("lr", 1e-3))
     wd = float(kwargs.pop("weight_decay", 0.0) or 0.0)
     name = name.lower()
+    decay = lambda: _add_decayed_weights_where_trained(wd)
     parts = []
     if name in ("adam", "adamw"):
         b1, b2 = kwargs.pop("betas", (0.9, 0.999))
         eps = float(kwargs.pop("eps", 1e-8))
         if name == "adam" and wd:
-            parts.append(optax.add_decayed_weights(wd))  # torch Adam couples wd into grad
+            parts.append(decay())  # torch Adam couples wd into grad
         parts.append(optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps))
         if name == "adamw" and wd:
-            parts.append(optax.add_decayed_weights(wd))
+            parts.append(decay())
     elif name == "sgd":
         momentum = float(kwargs.pop("momentum", 0.0) or 0.0)
         nesterov = bool(kwargs.pop("nesterov", False))
         if wd:
-            parts.append(optax.add_decayed_weights(wd))
+            parts.append(decay())
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=nesterov))
     elif name == "rmsprop":
@@ -55,7 +74,7 @@ def _core_transform(name: str, kwargs: Dict[str, Any]) -> Tuple[optax.GradientTr
         eps = float(kwargs.pop("eps", 1e-8))
         momentum = float(kwargs.pop("momentum", 0.0) or 0.0)
         if wd:
-            parts.append(optax.add_decayed_weights(wd))
+            parts.append(decay())
         parts.append(optax.scale_by_rms(decay=alpha, eps=eps))
         if momentum:
             parts.append(optax.trace(decay=momentum))

@@ -89,9 +89,26 @@ class Trainer:
         n_dev = config.get("n_devices") or (
             config["n_gpu"] if int(config.get("n_gpu", 1) or 1) > 1 else None
         )
-        self.mesh = get_mesh(
-            n_dev, batch_divisor=int(config.get("episode_size", 1))
+        # FINETUNING trains on flat batches — size the mesh by batch_size,
+        # not episode_size (otherwise the default episode_size=1 would pin
+        # the most parallel workload to a single chip)
+        if self.method.model_type == ModelType.FINETUNING:
+            divisor = int(config.get("batch_size", 128))
+        else:
+            divisor = int(config.get("episode_size", 1))
+        self.mesh = get_mesh(n_dev, batch_divisor=divisor)
+        # eval always consumes episodic batches — size its mesh separately
+        self.eval_mesh = (
+            self.mesh if divisor == int(config.get("episode_size", 1))
+            else get_mesh(n_dev, batch_divisor=int(config.get("episode_size", 1)))
         )
+        n_used = len(self.mesh.devices.ravel())
+        if n_dev is None and n_used < len(jax.devices()):
+            self.logger.warning(
+                "using %d of %d devices (batch divisor %d) — raise "
+                "episode_size/batch_size or set n_devices to use more",
+                n_used, len(jax.devices()), divisor,
+            )
         self.n_devices = len(self.mesh.devices.ravel())
         self.logger.info(
             "mesh: %d device(s) [%s]",
@@ -316,10 +333,13 @@ class Trainer:
             for batch in batches:
                 if profile_steps and epoch == 0 and step == profile_start:
                     jax.profiler.start_trace(profile_dir)
-                if profile_steps and epoch == 0 and step == profile_start + profile_steps:
+                    self._profiling = True
+                if getattr(self, "_profiling", False) and step >= profile_start + profile_steps:
                     jax.profiler.stop_trace()
+                    self._profiling = False
                     self.logger.info("profiler trace written to %s", profile_dir)
                     profile_steps = 0
+                self.writer.set_step(epoch * len(self.train_loader[0]) + step)
                 meter.update("data_time", time.time() - t_end)
                 self.rng, step_rng = jax.random.split(self.rng)
                 dev_batch = shard_batch(batch, self.mesh)
@@ -347,12 +367,18 @@ class Trainer:
                         )
                     )
                 step += 1
+        if getattr(self, "_profiling", False):
+            # trace window outran the epoch — flush it rather than leak
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.logger.info("profiler trace written to %s", profile_dir)
         return meter.avg("loss")
 
     def _validate(self, epoch: int, loader, mode: str) -> Tuple[float, float]:
+        self.writer.set_step(epoch)
         accs = []
         for batch in loader.epoch(epoch):
-            dev_batch = shard_batch(batch, self.mesh)
+            dev_batch = shard_batch(batch, self.eval_mesh)
             ep_acc = self._jit_eval_step(self.variables, dev_batch, self.eval_setting)
             accs.extend(np.asarray(jax.device_get(ep_acc)).ravel().tolist())
         mean, ci = mean_confidence_interval(accs)
