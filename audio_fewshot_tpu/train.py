@@ -93,15 +93,13 @@ class Trainer:
         # not episode_size (otherwise the default episode_size=1 would pin
         # the most parallel workload to a single chip)
         if self.method.model_type == ModelType.FINETUNING:
+            # flat pretraining is the most parallel workload — size the mesh
+            # by batch_size; episodic eval batches that don't divide the
+            # mesh run replicated (see _validate)
             divisor = int(config.get("batch_size", 128))
         else:
             divisor = int(config.get("episode_size", 1))
         self.mesh = get_mesh(n_dev, batch_divisor=divisor)
-        # eval always consumes episodic batches — size its mesh separately
-        self.eval_mesh = (
-            self.mesh if divisor == int(config.get("episode_size", 1))
-            else get_mesh(n_dev, batch_divisor=int(config.get("episode_size", 1)))
-        )
         n_used = len(self.mesh.devices.ravel())
         if n_dev is None and n_used < len(jax.devices()):
             self.logger.warning(
@@ -377,8 +375,17 @@ class Trainer:
     def _validate(self, epoch: int, loader, mode: str) -> Tuple[float, float]:
         self.writer.set_step(epoch)
         accs = []
+        n_mesh = len(self.mesh.devices.ravel())
         for batch in loader.epoch(epoch):
-            dev_batch = shard_batch(batch, self.eval_mesh)
+            if batch.support.shape[0] % n_mesh == 0:
+                dev_batch = shard_batch(batch, self.mesh)
+            else:
+                # episode axis doesn't divide the mesh (FINETUNING meshes
+                # are sized by batch_size) — run the eval step replicated
+                dev_batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(np.asarray(x), replicate(self.mesh)),
+                    batch,
+                )
             ep_acc = self._jit_eval_step(self.variables, dev_batch, self.eval_setting)
             accs.extend(np.asarray(jax.device_get(ep_acc)).ravel().tolist())
         mean, ci = mean_confidence_interval(accs)
