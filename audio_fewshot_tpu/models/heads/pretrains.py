@@ -74,10 +74,31 @@ class DeepBDCPretrain(GlobalPretrain):
     val_metric = "bdc"
 
     def __init__(self, emb_func, val_type: str = "meta", penalty_C: float = 0.1,
-                 **kwargs):
+                 is_distill: bool = False, kd_T: float = 4.0,
+                 alpha: float = 0.5, **kwargs):
         super().__init__(emb_func, **kwargs)
         self.val_type = val_type
         self.penalty_c = penalty_C
+        self.is_distill = is_distill
+        self.kd_T = kd_T
+        self.alpha = alpha
+        self.teacher_variables = None  # born-again distill generations
+
+    def loss(self, variables, batch, setting, rng):
+        loss, out = super().loss(variables, batch, setting, rng)
+        if self.is_distill and self.teacher_variables is not None:
+            from ..losses import distill_kl_loss
+
+            t_feats, _ = self.apply_module(
+                self.teacher_variables, "emb_func", batch.data, train=False
+            )
+            if t_feats.ndim > 2:
+                t_feats = t_feats.reshape(t_feats.shape[0], -1)
+            t_logits = self._global_logits(self.teacher_variables, t_feats)
+            loss = loss + self.alpha * distill_kl_loss(
+                out.seg_logits, t_logits, self.kd_T
+            )
+        return loss, out
 
     def forward(self, variables, batch, setting):
         if self.val_type == "stl":

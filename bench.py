@@ -1,12 +1,16 @@
 """Benchmark: 5-way 5-shot eval episode throughput on the flagship path.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} to stdout.
 Baseline (driver BASELINE.json north-star): 2000 eval episodes/sec on a
 v5e-8 → scaled to the available chip count (episodes/sec/chip × 8 is the
 vs_baseline denominator's intent; on 1 chip the target is 250 eps/s/chip).
+
+Secondary tracked metrics (BASELINE.md: p50 episode latency, mel-frames/sec
+preprocessing) go to stderr.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -14,6 +18,7 @@ import numpy as np
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from audio_fewshot_tpu.episode import make_dense_episode_batch
     from audio_fewshot_tpu.models import build_method, eval_setting
@@ -70,6 +75,41 @@ def main() -> None:
 
     eps_per_sec = n_iters * e / dt
     per_chip = eps_per_sec / n_chips
+
+    # -- secondary metrics (stderr) ----------------------------------------
+    # p50 single-episode latency: one episode per call, chained
+    one = jax.tree_util.tree_map(lambda x: x[:1], dev_batch)
+    eval_step(variables, one).block_until_ready()
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        eval_step(variables, one).block_until_ready()
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lats) * 1e3)
+
+    # mel-frames/sec of the waveform→log-mel frontend
+    from audio_fewshot_tpu.ops.mel import log_mel_spectrogram
+
+    wave = jnp.asarray(
+        rng.normal(size=(64, 22050 * 5)).astype(np.float32)
+    )
+    mel = log_mel_spectrogram(wave)
+    mel.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        mel = log_mel_spectrogram(wave)
+    mel.block_until_ready()
+    frames_per_sec = 10 * mel.shape[0] * mel.shape[-1] / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "p50_episode_latency_ms": round(p50_ms, 3),
+                "mel_frames_per_sec": round(frames_per_sec, 1),
+            }
+        ),
+        file=sys.stderr,
+    )
+
     baseline_per_chip = 2000.0 / 8.0  # v5e-8 north-star
     print(
         json.dumps(
