@@ -110,9 +110,16 @@ class EpisodicLoader:
         segment_bucket_sizes: Optional[Tuple[int, ...]] = None,
         prefetch: int = 2,
         epoch_offset_seed: int = 0,
+        augment_times: int = 1,
     ):
         self.dataset = dataset
-        self.way, self.shot, self.query = way, shot, query
+        self.way, self.query = way, query
+        #: effective shot — each sampled support clip contributes
+        #: ``augment_times`` copies (reference ``shot_num × augment_times``
+        #: inflation, trainer.py:444-447; copies are differentiated by the
+        #: device-side random augmentation when ``augment`` is on)
+        self.shot = shot * augment_times
+        self.augment_times = augment_times
         self.mode = mode
         self.episode_size = episode_size
         self.prefetch = prefetch
@@ -155,9 +162,12 @@ class EpisodicLoader:
                 s = q = 0
                 for w, cls in enumerate(plan.classes):
                     for k in plan.support[w]:
-                        support[i, s] = self._pick_segment(ds.clips[cls][k], rng)
-                        global_sup[i, s] = cls + ds.class_offset
-                        s += 1
+                        # augment_times copies per support clip (random
+                        # segments now; random augmentation on device)
+                        for _ in range(self.augment_times):
+                            support[i, s] = self._pick_segment(ds.clips[cls][k], rng)
+                            global_sup[i, s] = cls + ds.class_offset
+                            s += 1
                     for k in plan.query[w]:
                         query[i, q] = self._pick_segment(ds.clips[cls][k], rng)
                         global_qry[i, q] = cls + ds.class_offset
@@ -293,12 +303,14 @@ def get_dataloader(
 
     if mode == "train":
         way = config["way_num"]
-        shot = config["shot_num"] * int(config.get("augment_times", 1))
+        shot = config["shot_num"]
+        augment_times = int(config.get("augment_times", 1))
         query_n = config["query_num"]
         episodes = int(config.get("train_episode", 500))
     else:
         way = config.get("test_way") or config["way_num"]
         shot = config.get("test_shot") or config["shot_num"]
+        augment_times = 1
         query_n = config.get("test_query") or config["query_num"]
         episodes = int(config.get("test_episode", 600))
 
@@ -316,6 +328,7 @@ def get_dataloader(
             seed=seed + 1000 * _SPLIT_INDEX[mode] + i,
             segment_bucket_sizes=tuple(buckets) if buckets else None,
             prefetch=int(config.get("prefetch", 2)),
+            augment_times=augment_times,
         )
         for i in range(n_loaders)
     ]
