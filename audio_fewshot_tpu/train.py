@@ -324,47 +324,62 @@ class Trainer:
         profile_start = int(cfg.get("profile_start", 2))
         profile_dir = os.path.join(self.log_dir, "profile")
 
-        epoch_iters = [ld.epoch(epoch) for ld in self.train_loader]
+        def host_batches():
+            for batches in zip(*[ld.epoch(epoch) for ld in self.train_loader]):
+                yield from batches
+
+        def device_batches():
+            """One-ahead device transfer: `jax.device_put` is async, so the
+            next batch's host→device copy overlaps the current step's
+            compute instead of serializing in front of it."""
+            it = host_batches()
+            try:
+                nxt = shard_batch(next(it), self.mesh)
+            except StopIteration:
+                return
+            for batch in it:
+                cur, nxt = nxt, shard_batch(batch, self.mesh)
+                yield cur
+            yield nxt
+
         t_end = time.time()
         step = 0
-        for batches in zip(*epoch_iters):
-            for batch in batches:
-                if profile_steps and epoch == 0 and step == profile_start:
-                    jax.profiler.start_trace(profile_dir)
-                    self._profiling = True
-                if getattr(self, "_profiling", False) and step >= profile_start + profile_steps:
-                    jax.profiler.stop_trace()
-                    self._profiling = False
-                    self.logger.info("profiler trace written to %s", profile_dir)
-                    profile_steps = 0
-                self.writer.set_step(epoch * len(self.train_loader[0]) + step)
-                meter.update("data_time", time.time() - t_end)
-                self.rng, step_rng = jax.random.split(self.rng)
-                dev_batch = shard_batch(batch, self.mesh)
-                t0 = time.time()
-                self.variables, self.opt_state, metrics = self._jit_train_step(
-                    self.variables, self.opt_state, dev_batch, lr_groups,
-                    step_rng, self.train_setting,
-                )
-                metrics = jax.device_get(metrics)
-                meter.update("calc_time", time.time() - t0)
-                meter.update("loss", float(metrics["loss"]))
-                meter.update("acc", float(metrics.get("acc", 0.0)))
-                meter.update("batch_time", time.time() - t_end)
-                t_end = time.time()
-                if step % log_interval == 0:
-                    self.logger.info(
-                        "Epoch-({}): [{}/{}]\tTime {:.3f} ({:.3f})\tCalc {:.3f} ({:.3f})\t"
-                        "Data {:.3f} ({:.3f})\tLoss {:.3f} ({:.3f})\tAcc@1 {:.3f} ({:.3f})".format(
-                            epoch, step * episode_size, len(self.train_loader[0]) * episode_size,
-                            meter.last("batch_time"), meter.avg("batch_time"),
-                            meter.last("calc_time"), meter.avg("calc_time"),
-                            meter.last("data_time"), meter.avg("data_time"),
-                            meter.last("loss"), meter.avg("loss"),
-                            meter.last("acc"), meter.avg("acc"),
-                        )
+        for dev_batch in device_batches():
+            if profile_steps and epoch == 0 and step == profile_start:
+                jax.profiler.start_trace(profile_dir)
+                self._profiling = True
+            if getattr(self, "_profiling", False) and step >= profile_start + profile_steps:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.logger.info("profiler trace written to %s", profile_dir)
+                profile_steps = 0
+            self.writer.set_step(epoch * len(self.train_loader[0]) + step)
+            meter.update("data_time", time.time() - t_end)
+            self.rng, step_rng = jax.random.split(self.rng)
+            t0 = time.time()
+            self.variables, self.opt_state, metrics = self._jit_train_step(
+                self.variables, self.opt_state, dev_batch, lr_groups,
+                step_rng, self.train_setting,
+            )
+            metrics = jax.device_get(metrics)
+            meter.update("calc_time", time.time() - t0)
+            meter.update("loss", float(metrics["loss"]))
+            meter.update("acc", float(metrics.get("acc", 0.0)))
+            meter.update("batch_time", time.time() - t_end)
+            t_end = time.time()
+            if step % log_interval == 0:
+                self.logger.info(
+                    "Epoch-({}): [{}/{}]\tTime {:.3f} ({:.3f})\tCalc {:.3f} ({:.3f})\t"
+                    "Data {:.3f} ({:.3f})\tLoss {:.3f} ({:.3f})\tAcc@1 {:.3f} ({:.3f})".format(
+                        epoch, step * episode_size, len(self.train_loader[0]) * episode_size,
+                        meter.last("batch_time"), meter.avg("batch_time"),
+                        meter.last("calc_time"), meter.avg("calc_time"),
+                        meter.last("data_time"), meter.avg("data_time"),
+                        meter.last("loss"), meter.avg("loss"),
+                        meter.last("acc"), meter.avg("acc"),
                     )
-                step += 1
+                )
+            step += 1
         if getattr(self, "_profiling", False):
             # trace window outran the epoch — flush it rather than leak
             jax.profiler.stop_trace()
