@@ -53,6 +53,9 @@ class CAN(MethodBase):
     def __init__(self, emb_func, scale_cls: float = 7.0,
                  iter_num_prob: float = 35.0 / 75, num_classes: int = 25,
                  nFeat: int = 640, HW: int = 5, **kwargs):
+        # iter_num_prob belongs to the reference's commented-out
+        # transductive stage (can.py:296-324); nFeat/HW are derived from the
+        # feature map here — all three accepted for config parity only.
         super().__init__(emb_func, **kwargs)
         self.scale_cls = scale_cls
         self.num_classes = num_classes

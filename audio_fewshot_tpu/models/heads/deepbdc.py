@@ -25,7 +25,7 @@ from ...episode import EpisodeBatch, segment_targets
 from ...registry import CLASSIFIERS
 from ...utils.aggregate import average_logits, majority_vote
 from ..base import EpisodeSetting, LossOutput, MethodBase, ModelType, masked_cross_entropy
-from .proto_net import prototypes
+from .proto_net import neg_sq_euclidean, prototypes
 
 
 def bdc_proto_logits(query_feat, support_feat, way, shot):
@@ -33,11 +33,7 @@ def bdc_proto_logits(query_feat, support_feat, way, shot):
     deepbdc.py:37-53 — unnormalized on purpose)."""
     proto = prototypes(support_feat, way, shot)
     if shot > 1:
-        qp = jnp.einsum("egd,ewd->egw", query_feat, proto,
-                    precision=jax.lax.Precision.HIGHEST)
-        q2 = jnp.sum(query_feat * query_feat, axis=-1)[..., None]
-        p2 = jnp.sum(proto * proto, axis=-1)[:, None, :]
-        return 2.0 * qp - q2 - p2
+        return neg_sq_euclidean(query_feat, proto)
     return jnp.einsum("egd,ewd->egw", query_feat, proto)
 
 
@@ -62,7 +58,7 @@ class DeepBDC(MethodBase):
         if self.use_bpa:
             from .proto_net import apply_bpa
 
-            sup, qry = apply_bpa(sup, qry)
+            sup, qry = apply_bpa(sup, qry, batch.query_mask)
         seg_logits = bdc_proto_logits(qry, sup, setting.way, setting.shot)
         loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
         return loss, LossOutput(
@@ -76,7 +72,7 @@ class DeepBDC(MethodBase):
         if self.use_bpa:
             from .proto_net import apply_bpa
 
-            sup, qry = apply_bpa(sup, qry)
+            sup, qry = apply_bpa(sup, qry, batch.query_mask)
         return bdc_proto_logits(qry, sup, setting.way, setting.shot)
 
     def feature_logits(self, sup_feat, qry_feat, setting):
@@ -138,11 +134,19 @@ class DeepBDC(MethodBase):
         if not thresholds:
             return None
         if policy == "overall":
-            self.uncertain_global_threshold = float(np.quantile(np.concatenate([np.asarray(thresholds)]), 0.95))
+            # pooled 95 % quantile over ALL correct-prediction uncertainties
+            # (reference deepbdc.py:387-402), with correctness-conditioned
+            # mean/std
+            pooled_u = np.concatenate(all_u)
+            pooled_ok = np.concatenate(all_ok)
+            correct_all = pooled_u[pooled_ok]
+            self.uncertain_global_threshold = float(np.quantile(correct_all, 0.95))
+            self.uncertains_mean = float(correct_all.mean())
+            self.uncertains_std = float(correct_all.std())
         else:
             self.uncertain_global_threshold = float(np.mean(thresholds))
-        self.uncertains_mean = float(np.mean(means))
-        self.uncertains_std = float(np.mean(stds))
+            self.uncertains_mean = float(np.mean(means))
+            self.uncertains_std = float(np.mean(stds))
         return self.uncertain_global_threshold
 
     def ood_mask(self, uncertains: jnp.ndarray) -> jnp.ndarray:

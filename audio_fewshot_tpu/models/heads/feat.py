@@ -25,7 +25,7 @@ from ...episode import segment_targets
 from ...registry import CLASSIFIERS
 from ..base import LossOutput, MethodBase, ModelType, masked_cross_entropy
 from ..losses import cross_entropy
-from .proto_net import prototypes
+from .proto_net import neg_sq_euclidean, prototypes
 
 
 class SetAttention(nn.Module):
@@ -55,11 +55,7 @@ class SetAttention(nn.Module):
 
 def metric_logits(query, proto, mode, temperature):
     if mode == "euclidean":
-        qp = jnp.einsum("egd,ewd->egw", query, proto,
-                precision=jax.lax.Precision.HIGHEST)
-        q2 = jnp.sum(query * query, axis=-1)[..., None]
-        p2 = jnp.sum(proto * proto, axis=-1)[:, None, :]
-        return (2.0 * qp - q2 - p2) / temperature
+        return neg_sq_euclidean(query, proto) / temperature
     qn = query / jnp.maximum(jnp.linalg.norm(query, axis=-1, keepdims=True), 1e-12)
     pn = proto / jnp.maximum(jnp.linalg.norm(proto, axis=-1, keepdims=True), 1e-12)
     return jnp.einsum("egd,ewd->egw", qn, pn) / temperature

@@ -29,12 +29,18 @@ from ..base import EpisodeSetting, LossOutput, MethodBase, ModelType
 from ..losses import cross_entropy, distill_kl_loss
 
 
-def cosine_scores(feats: jnp.ndarray, weights: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """DistLinear (reference baseline_plus.py:27-66): L2-normalize features
-    and class weights, scaled cosine logits (class-wise learnable norm is
-    the weight vector's free magnitude — kept by normalizing per-use)."""
+def cosine_scores(feats: jnp.ndarray, weights: jnp.ndarray, scale: float,
+                  normalize_weights: bool = False) -> jnp.ndarray:
+    """DistLinear (reference baseline_plus.py:27-66): L2-normalize features;
+    with ``class_wise_learnable_norm`` (the reference default, WeightNorm on
+    the fc), logits = scale · ‖w_c‖ · cos — i.e. the UNnormalized weight row
+    against normalized features, so the per-class magnitude ‖w_c‖ is the
+    learnable norm.  ``normalize_weights=True`` gives the plain-cosine
+    variant (used by NegNet's margin formula, which needs cos ∈ [-1, 1])."""
     f = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-5)
-    w = weights / (jnp.linalg.norm(weights, axis=-1, keepdims=True) + 1e-5)
+    w = weights
+    if normalize_weights:
+        w = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-5)
     return scale * (f @ w.T)
 
 
@@ -104,9 +110,10 @@ class FinetuningBase(MethodBase):
         minibatches — full-batch steps at matched count here)."""
         return self.inner_steps * max(1, -(-n_support // self.inner_batch))
 
-    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps: int):
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps: int,
+                             way: Optional[int] = None):
         d = sup_f.shape[-1]
-        way = self.way_num
+        way = way or self.way_num
         if self.head_kind == "linear":
             # zero init: CE on a linear head is convex, deterministic start
             w0 = jnp.zeros((d, way), sup_f.dtype)
@@ -152,7 +159,9 @@ class FinetuningBase(MethodBase):
         sup_f, qry_f, _ = self.embed(variables, batch, train=False)
         n_steps = self._adapt_steps(sup_f.shape[1])
         return jax.vmap(
-            lambda s, y, q: self._episode_head_logits(s, y, q, n_steps)
+            lambda s, y, q: self._episode_head_logits(
+                s, y, q, n_steps, way=setting.way
+            )
         )(sup_f, batch.support_target, qry_f)
 
 
@@ -185,7 +194,9 @@ class NegNet(FinetuningBase):
 
     def _global_logits(self, variables, feats):
         w = variables["params"]["classifier"]["kernel"].T
-        return cosine_scores(feats, w, 1.0)  # raw cosine; margin applied in loss
+        # plain cosine (normalized weights): the margin formula needs
+        # cos in [-1, 1]
+        return cosine_scores(feats, w, 1.0, normalize_weights=True)
 
     def _train_loss(self, logits, targets):
         onehot = jax.nn.one_hot(targets, logits.shape[-1])
@@ -220,22 +231,28 @@ class RFSModel(FinetuningBase):
             loss = loss + self.alpha * distill_kl_loss(out.seg_logits, t_logits, self.kd_T)
         return loss, out
 
-    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps):
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps, way=None):
         sup_f = sup_f / (jnp.linalg.norm(sup_f, axis=-1, keepdims=True) + 1e-5)
         qry_f = qry_f / (jnp.linalg.norm(qry_f, axis=-1, keepdims=True) + 1e-5)
-        return super()._episode_head_logits(sup_f, sup_y, qry_f, n_steps)
+        return super()._episode_head_logits(sup_f, sup_y, qry_f, n_steps, way=way)
 
 
 @CLASSIFIERS.register("SKDModel")
 class SKDModel(FinetuningBase):
     """Self-supervised rotation pretraining (reference skd_model.py):
-    Generation-0 adds a 4-way rotation prediction loss over the four
-    90°-rotated copies of each batch; eval is an L2-normalized linear probe."""
+    Gen-0 = γ·CE(class, all 4 transformed copies) + α·CE(rotation);
+    Gen-1 (``is_distill`` with a teacher) adds teacher-KL on the class
+    logits and an L2 consistency on the rotation logits
+    (skd_model.py:182-190).  Eval is an L2-normalized linear probe."""
 
-    def __init__(self, emb_func, gamma: float = 2.0, is_distill: bool = False,
-                 **kwargs):
+    def __init__(self, emb_func, gamma: float = 2.0, alpha: float = 1.0,
+                 is_distill: bool = False, kd_T: float = 4.0, **kwargs):
         super().__init__(emb_func, **kwargs)
         self.gamma = gamma
+        self.alpha = alpha
+        self.is_distill = is_distill
+        self.kd_T = kd_T
+        self.teacher_variables = None
         self.modules["rot_classifier"] = nn.Dense(4)
 
     def _init_head(self, variables, rngs, feats, example_batch, setting):
@@ -261,22 +278,42 @@ class SKDModel(FinetuningBase):
         )
         if feats.ndim > 2:
             feats = feats.reshape(feats.shape[0], -1)
-        class_logits = self._global_logits(variables, feats[:b])
-        ce = cross_entropy(class_logits, batch.target)
+        # classification CE over ALL four transformed copies (reference
+        # generated_target = target.repeat(4))
+        class_logits = self._global_logits(variables, feats)
+        y4 = jnp.tile(batch.target, 4)
+        ce = cross_entropy(class_logits, y4)
         rot_logits = self.modules["rot_classifier"].apply(
             {"params": variables["params"]["rot_classifier"]}, feats
         )
         rot_targets = jnp.repeat(jnp.arange(4), b)
         rot_loss = cross_entropy(rot_logits, rot_targets)
+        loss = self.gamma * ce + self.alpha * rot_loss
+
+        if self.is_distill and self.teacher_variables is not None:
+            t_feats, _ = self.apply_module(
+                self.teacher_variables, "emb_func", rots, train=False
+            )
+            if t_feats.ndim > 2:
+                t_feats = t_feats.reshape(t_feats.shape[0], -1)
+            t_class = self._global_logits(self.teacher_variables, t_feats)
+            t_rot = self.modules["rot_classifier"].apply(
+                {"params": self.teacher_variables["params"]["rot_classifier"]},
+                t_feats,
+            )
+            loss = loss + distill_kl_loss(class_logits, t_class, self.kd_T)
+            loss = loss + jnp.mean((rot_logits - t_rot) ** 2)
+
         acc = jnp.mean(
-            (jnp.argmax(class_logits, -1) == batch.target).astype(jnp.float32)
+            (jnp.argmax(class_logits[:b], -1) == batch.target).astype(jnp.float32)
         ) * 100.0
-        return ce + self.gamma * rot_loss, LossOutput(
-            seg_logits=class_logits, metrics={"acc": acc}, updates=updates
+        return loss, LossOutput(
+            seg_logits=class_logits[:b], metrics={"acc": acc}, updates=updates
         )
 
-    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps):
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps, way=None):
         # L2-normalized linear probe, like RFS
         sup_f = sup_f / (jnp.linalg.norm(sup_f, axis=-1, keepdims=True) + 1e-5)
         qry_f = qry_f / (jnp.linalg.norm(qry_f, axis=-1, keepdims=True) + 1e-5)
-        return FinetuningBase._episode_head_logits(self, sup_f, sup_y, qry_f, n_steps)
+        return FinetuningBase._episode_head_logits(
+            self, sup_f, sup_y, qry_f, n_steps, way=way)

@@ -60,7 +60,11 @@ class MatchingNetLayer(nn.Module):
     def __call__(self, support, query, train: bool = False):
         # support: [ns, d]; query: [nq, d]
         fwd = nn.RNN(nn.OptimizedLSTMCell(self.feat_dim), name="g_fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.feat_dim), name="g_bwd", reverse=True)
+        # keep_order=True: flax returns reversed-scan outputs in reversed
+        # order by default, which would add position i's forward state to
+        # position n-1-i's backward state
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.feat_dim), name="g_bwd",
+                     reverse=True, keep_order=True)
         out_f = fwd(support[None])[0]
         out_b = bwd(support[None])[0]
         g = support + out_f + out_b

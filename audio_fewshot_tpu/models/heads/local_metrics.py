@@ -204,6 +204,8 @@ class ConvMNet(MethodBase):
     needs_feature_map = True
 
     def __init__(self, emb_func, n_local: Optional[int] = None, **kwargs):
+        # n_local (= h*w, the reference Conv1d kernel size) is derived from
+        # the feature map here — accepted for config parity only.
         super().__init__(emb_func, **kwargs)
         self.modules["head"] = ConvMScorer()
 

@@ -66,6 +66,8 @@ class MCL(MethodBase):
 
     def __init__(self, emb_func, n_k: int = 1, katz_factor: float = 0.5,
                  gamma: float = 20.0, gamma2: float = 10.0, **kwargs):
+        # n_k is accepted for config parity; the reference MCLLayer stores
+        # it but the katz path never reads it either (mcl.py:124-131).
         super().__init__(emb_func, **kwargs)
         self.katz_factor = katz_factor
         self.gamma = gamma

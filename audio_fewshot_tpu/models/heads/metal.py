@@ -33,7 +33,7 @@ class MetaLossNet(nn.Module):
     """Step-conditioned learned loss: MLP(state ‖ step-embedding) → scalar."""
 
     hid_dim: int = 40
-    max_steps: int = 16
+    max_steps: int = 64
 
     @nn.compact
     def __call__(self, state, step, train: bool = False):
@@ -60,6 +60,12 @@ class MeTAL(MethodBase):
         self.inner_lr = float(p.get("lr", 0.01))
         self.train_iter = int(p.get("train_iter", 5))
         self.test_iter = int(p.get("test_iter", 10))
+        if max(self.train_iter, self.test_iter) > MetaLossNet.max_steps:
+            raise ValueError(
+                f"MeTAL inner iters (train {self.train_iter} / test "
+                f"{self.test_iter}) exceed the step-embedding capacity "
+                f"({MetaLossNet.max_steps}) — XLA would silently clamp"
+            )
         self.way_num = way_num
         self.modules["classifier"] = nn.Dense(way_num)
         self.modules["meta_loss"] = MetaLossNet()

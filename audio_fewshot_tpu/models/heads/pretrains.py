@@ -18,7 +18,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ...episode import FlatBatch
@@ -128,7 +127,6 @@ class S2M2(FinetuningBase):
         super().__init__(emb_func, **kwargs)
         self.alpha = alpha
         self.modules["rot_classifier"] = nn.Dense(4)
-        self._host_rng = np.random.default_rng(0)
 
     def _init_head(self, variables, rngs, feats, example_batch, setting):
         super()._init_head(variables, rngs, feats, example_batch, setting)
@@ -141,7 +139,7 @@ class S2M2(FinetuningBase):
         assert isinstance(batch, FlatBatch)
         x, y = batch.data, batch.target
         b = x.shape[0]
-        r_lam, r_perm, r_layer, rng = jax.random.split(rng, 4)
+        r_lam, r_perm, rng = jax.random.split(rng, 3)
         lam = jax.random.beta(r_lam, self.alpha, self.alpha)
         index = jax.random.permutation(r_perm, b)
 

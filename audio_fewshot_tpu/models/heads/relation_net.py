@@ -50,6 +50,8 @@ class RelationNet(MethodBase):
 
     def __init__(self, emb_func, feat_dim: int = 64, feat_height: int = 3,
                  feat_width: int = 3, **kwargs):
+        # feat_height/feat_width size the reference's fc layer; the Dense
+        # here infers its input size, so they are config-parity-only.
         super().__init__(emb_func, **kwargs)
         self.modules["head"] = RelationLayer(feat_dim=feat_dim)
 

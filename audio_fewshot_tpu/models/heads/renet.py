@@ -108,7 +108,11 @@ class CCALayer(nn.Module):
         qry = qry - qry.mean(axis=1, keepdims=True)
 
         r1x1_conv = nn.Conv(64, (1, 1), use_bias=False, name="cca_1x1")
-        r1x1_bn = BatchNorm(name="cca_bn")
+        # batch statistics in train AND eval: this module runs vmapped over
+        # episodes, where per-episode running-stat updates are ill-defined
+        # (and were previously discarded) — batch-stat-only keeps train and
+        # eval consistent
+        r1x1_bn = BatchNorm(use_running_statistics=False, name="cca_bn")
 
         def reduce_shared(x):
             y = x.transpose(0, 2, 3, 1)

@@ -21,11 +21,19 @@ import jax.numpy as jnp
 DIAG_VAL = 1e5
 
 
-def log_sinkhorn(cost: jnp.ndarray, reg: float = 0.1, num_iters: int = 10) -> jnp.ndarray:
-    """Log-space Sinkhorn with uniform marginals over ``[..., n, n]`` costs.
-    Returns the log transport plan."""
+def log_sinkhorn(cost: jnp.ndarray, reg: float = 0.1, num_iters: int = 10,
+                 mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Log-space Sinkhorn over ``[..., n, n]`` costs.  Returns the log
+    transport plan.  ``mask`` ([..., n], 1 = real row): padded rows get zero
+    marginal mass so they carry no transport (their plan rows → −inf)."""
     n = cost.shape[-1]
-    log_mu = jnp.log(jnp.full(cost.shape[:-1], 1.0 / n) + 1e-8)
+    if mask is None:
+        log_mu = jnp.log(jnp.full(cost.shape[:-1], 1.0 / n) + 1e-8)
+    else:
+        weights = mask / jnp.maximum(
+            jnp.sum(mask, axis=-1, keepdims=True), 1.0
+        )
+        log_mu = jnp.log(weights + 1e-8)
     log_nu = log_mu
 
     def modified_cost(u, v):
@@ -56,12 +64,15 @@ def bpa_transform(
     sinkhorn_iterations: int = 10,
     mask_diag: bool = True,
     max_scale: bool = True,
+    row_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """BPA features for ``[..., n, d]`` sets → ``[..., n, n]`` affinities.
 
     ``labels``/``n_labeled``: known labels of the first ``n_labeled`` rows
     (support set) clamp their pairwise affinities to exact 0/1
-    (reference ``adjust_labeled``)."""
+    (reference ``adjust_labeled``).  ``row_mask`` ([..., n], 1 = real row):
+    padded rows are excluded from the transport marginals so the affinities
+    of real rows are invariant to the padding/bucket size."""
     n = x.shape[-2]
     if distance == "euclidean":
         d2 = jnp.sum((x[..., :, None, :] - x[..., None, :, :]) ** 2, axis=-1)
@@ -75,7 +86,8 @@ def bpa_transform(
     if mask_diag:
         cost = jnp.where(eye, DIAG_VAL, cost)
 
-    log_p = log_sinkhorn(cost, reg=ot_reg, num_iters=sinkhorn_iterations)
+    log_p = log_sinkhorn(cost, reg=ot_reg, num_iters=sinkhorn_iterations,
+                         mask=row_mask)
     p = jnp.exp(log_p)
     if max_scale:
         p = p / jnp.max(p, axis=(-2, -1), keepdims=True)

@@ -77,8 +77,11 @@ def main() -> None:
     per_chip = eps_per_sec / n_chips
 
     # -- secondary metrics (stderr) ----------------------------------------
-    # p50 single-episode latency: one episode per call, chained
-    one = jax.tree_util.tree_map(lambda x: x[:1], dev_batch)
+    # p50 single-episode latency: one episode per call, replicated (a
+    # single episode can't shard across a multi-chip mesh)
+    one = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x[:1], replicate(mesh)), dev_batch
+    )
     eval_step(variables, one).block_until_ready()
     lats = []
     for _ in range(30):
