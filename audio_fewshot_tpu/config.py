@@ -136,7 +136,12 @@ class Config:
         self.config_path = config_path
         self.is_resume = is_resume
 
-        config = {k: (dict(v) if isinstance(v, dict) else (list(v) if isinstance(v, list) else v)) for k, v in DEFAULTS.items()}
+        import copy
+
+        # deep copy: _recursive_update mutates nested dicts in place, and a
+        # shallow copy would leak one Config's overrides into the module
+        # DEFAULTS (and thus into every later Config in the process)
+        config = copy.deepcopy(DEFAULTS)
 
         file_dict = self._load_yaml(config_path) if config_path else {}
 

@@ -46,10 +46,13 @@ def load_mean_std(path: str) -> Tuple[float, float]:
     return float(arr[0]), float(arr[1])
 
 
-def segment_clip(spec: np.ndarray, segment_frames: int) -> np.ndarray:
+def segment_clip(spec: np.ndarray, segment_frames: int,
+                 max_segments: int = 0) -> np.ndarray:
     """Chop a [C, F, T] clip into ``ceil(T / segment_frames)`` fixed windows
     [n, C, F, segment_frames]; the tail window is taken right-aligned so no
     audio is lost and every segment is full-length (MetaAudio protocol).
+    ``max_segments`` (0 = unlimited) caps n — very long clips keep their
+    first windows so episode buckets stay bounded.
 
     1-D inputs are pre-extracted embedding vectors (the ``is_clap`` flow,
     reference clap.py:351-386) — wrapped as a single [1, 1, 1, D] segment
@@ -65,10 +68,13 @@ def segment_clip(spec: np.ndarray, segment_frames: int) -> np.ndarray:
             spec = np.tile(spec, (1, 1, reps))
         return spec[None, :, :, :segment_frames]
     n = int(np.ceil(t / segment_frames))
+    if max_segments:
+        n = min(n, max_segments)
     segs = np.empty((n, c, f, segment_frames), dtype=spec.dtype)
     for i in range(n - 1):
         segs[i] = spec[:, :, i * segment_frames : (i + 1) * segment_frames]
-    segs[n - 1] = spec[:, :, t - segment_frames :]
+    last_end = min(n * segment_frames, t)
+    segs[n - 1] = spec[:, :, last_end - segment_frames : last_end]
     return segs
 
 
@@ -124,6 +130,7 @@ class SpectrogramDataset:
         std: float = 1.0,
         segment_frames: int = DEFAULT_SEGMENT_FRAMES,
         class_offset: int = 0,
+        max_segments: int = 0,
     ) -> "SpectrogramDataset":
         if classes is None:
             classes = sorted(
@@ -143,7 +150,8 @@ class SpectrogramDataset:
                 else:
                     spec = np.load(path)
                 out.append(
-                    segment_clip(np.asarray(spec, dtype=np.float32), segment_frames)
+                    segment_clip(np.asarray(spec, dtype=np.float32),
+                                 segment_frames, max_segments)
                 )
             clips[c] = out
         return cls(classes, clips, mean=mean, std=std, class_offset=class_offset)

@@ -86,6 +86,7 @@ def build_dataset(config: Dict[str, Any], mode: str) -> SpectrogramDataset:
         std=std,
         segment_frames=seg_frames,
         class_offset=class_offset,
+        max_segments=int(config.get("max_segments_per_clip", 8) or 0),
     )
 
 
@@ -226,24 +227,41 @@ class EpisodicLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer abandoned the
+            generator (otherwise the worker would block on a full queue for
+            the process lifetime, pinning built batches)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for plans in plans_iter:
-                    q.put(self._build_batch(plans, rng))
-                q.put(sentinel)
+                    if not put(self._build_batch(plans, rng)):
+                        return
+                put(sentinel)
             except BaseException as exc:  # propagate to the consumer
-                q.put(exc)
+                put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def __iter__(self) -> Iterator[EpisodeBatch]:
         return self.epoch(0)
@@ -310,7 +328,9 @@ def get_dataloader(
     else:
         way = config.get("test_way") or config["way_num"]
         shot = config.get("test_shot") or config["shot_num"]
-        augment_times = 1
+        # eval support is inflated by augment_times too (reference
+        # test.py:641) so episode geometry matches training
+        augment_times = int(config.get("augment_times", 1))
         query_n = config.get("test_query") or config["query_num"]
         episodes = int(config.get("test_episode", 600))
 

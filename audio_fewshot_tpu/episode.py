@@ -95,18 +95,21 @@ def make_dense_episode_batch(
     e = support.shape[0]
     wq = way * query_num
     assert query.shape[1] == wq, (query.shape, wq)
+    # pure-numpy leaves: batches assembled in host prefetch threads must NOT
+    # touch the device — jnp here would commit every batch to device 0 and
+    # force a blocking D2H round trip inside shard_batch
     return EpisodeBatch(
-        support=jnp.asarray(support),
-        query=jnp.asarray(query),
-        query_clip=jnp.broadcast_to(jnp.arange(wq, dtype=jnp.int32), (e, wq)),
-        query_mask=jnp.ones((e, wq), dtype=jnp.float32),
-        support_target=jnp.broadcast_to(
-            jnp.asarray(local_targets(way, shot)), (e, way * shot)
+        support=np.asarray(support),
+        query=np.asarray(query),
+        query_clip=np.broadcast_to(np.arange(wq, dtype=np.int32), (e, wq)),
+        query_mask=np.ones((e, wq), dtype=np.float32),
+        support_target=np.broadcast_to(
+            local_targets(way, shot), (e, way * shot)
         ),
-        query_target=jnp.broadcast_to(
-            jnp.asarray(local_targets(way, query_num)), (e, wq)
+        query_target=np.broadcast_to(
+            local_targets(way, query_num), (e, wq)
         ),
-        global_target=None if global_target is None else jnp.asarray(global_target),
+        global_target=None if global_target is None else np.asarray(global_target),
     )
 
 
@@ -158,15 +161,15 @@ def pack_ragged_episode_batch(
     assert src == query_segments.shape[0], (src, query_segments.shape)
 
     return EpisodeBatch(
-        support=jnp.asarray(support),
-        query=jnp.asarray(query),
-        query_clip=jnp.asarray(clip_id),
-        query_mask=jnp.asarray(mask),
-        support_target=jnp.broadcast_to(
-            jnp.asarray(local_targets(way, shot)), (e, way * shot)
+        support=np.asarray(support),
+        query=np.asarray(query),
+        query_clip=clip_id,
+        query_mask=mask,
+        support_target=np.broadcast_to(
+            local_targets(way, shot), (e, way * shot)
         ),
-        query_target=jnp.broadcast_to(
-            jnp.asarray(local_targets(way, query_num)), (e, wq)
+        query_target=np.broadcast_to(
+            local_targets(way, query_num), (e, wq)
         ),
     )
 

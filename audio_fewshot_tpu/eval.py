@@ -101,13 +101,20 @@ class Test:
 
         method = self.method
         sup_f, qry_f, _ = method.embed(variables, batch, train=False)
+        if getattr(method, "use_bpa", False):
+            # mirror forward(): the base votes and the calibration pass ran
+            # through the BPA transform — the TTA path must score on the
+            # same feature space
+            from .models.heads.proto_net import apply_bpa
+
+            sup_f, qry_f = apply_bpa(sup_f, qry_f, batch.query_mask)
         seg_logits = method.feature_logits(sup_f, qry_f, setting)
 
         e = batch.num_episodes
         wq = batch.num_query_clips
         uncertains, _ = method.clip_uncertainty(seg_logits, batch)
-        k = max(1, int(method.ood_fraction * e * wq))
-        _, top_idx = jax.lax.top_k(uncertains.reshape(-1), k)
+        top_idx = method.ood_topk(uncertains)
+        k = top_idx.shape[0]
         ep_idx = top_idx // wq
         clip_idx = top_idx % wq
 

@@ -44,6 +44,12 @@ def train_setting(config: Dict[str, Any]) -> EpisodeSetting:
 
 
 def eval_setting(config: Dict[str, Any]) -> EpisodeSetting:
+    """Eval geometry; shot is inflated by augment_times like train
+    (reference trainer.py:447 / test.py:641 — otherwise shot-dependent
+    heads, e.g. DeepBDC's euclid↔dot switch, would train and evaluate
+    under different metrics)."""
     return EpisodeSetting(
-        way=config["test_way"], shot=config["test_shot"], query=config["test_query"]
+        way=config["test_way"],
+        shot=config["test_shot"] * config.get("augment_times", 1),
+        query=config["test_query"],
     )

@@ -149,10 +149,18 @@ class DeepBDC(MethodBase):
             self.uncertains_std = float(np.mean(stds))
         return self.uncertain_global_threshold
 
-    def ood_mask(self, uncertains: jnp.ndarray) -> jnp.ndarray:
-        """Top-20 % most-uncertain query clips per batch (reference
-        deepbdc.py:343-344).  Static count → XLA top_k."""
+    def ood_topk(self, uncertains: jnp.ndarray):
+        """Flat indices of the top-20 % most-uncertain query clips
+        (reference deepbdc.py:343-344).  Static count → XLA top_k.
+        The single source of the flagging policy — the TTA harness and
+        ``ood_mask`` both derive from it."""
         flat = uncertains.reshape(-1)
         k = max(1, int(self.ood_fraction * flat.shape[0]))
-        kth = jax.lax.top_k(flat, k)[0][-1]
-        return (uncertains >= kth)
+        _, top_idx = jax.lax.top_k(flat, k)
+        return top_idx
+
+    def ood_mask(self, uncertains: jnp.ndarray) -> jnp.ndarray:
+        """Boolean [E, Wq] mask form of ``ood_topk``."""
+        top_idx = self.ood_topk(uncertains)
+        flat = jnp.zeros(uncertains.size, bool).at[top_idx].set(True)
+        return flat.reshape(uncertains.shape)

@@ -22,11 +22,28 @@ import numpy as np
 
 
 def hz_to_mel(f):
-    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+    """Slaney mel scale (librosa default, ``htk=False``): linear below
+    1 kHz, logarithmic above — consistent with the Slaney area
+    normalization applied to the filterbank."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        f < min_log_hz, f / f_sp, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep
+    )
 
 
 def mel_to_hz(m):
-    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        m < min_log_mel, m * f_sp, min_log_hz * np.exp(logstep * (m - min_log_mel))
+    )
 
 
 def mel_filterbank(num_mels: int, n_fft: int, sample_rate: int,
@@ -67,7 +84,8 @@ def log_mel_spectrogram(
         waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(0, n_fft - t)])
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     frames = waveform[..., idx]  # [..., n_frames, n_fft]
-    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    # periodic Hann (librosa/scipy sym=False), not numpy's symmetric window
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
     spec = jnp.fft.rfft(frames * window, axis=-1)
     power = jnp.abs(spec) ** 2
     fb = jnp.asarray(mel_filterbank(num_mels, n_fft, sample_rate))

@@ -127,11 +127,12 @@ class LRScheduler:
     ``step(metric)`` once per epoch afterwards (plateau bookkeeping)."""
 
     def __init__(self, name: str, kwargs: Dict[str, Any], epochs: int,
-                 warmup: int = 0):
+                 warmup: int = 0, base_lr: float = 1.0):
         self.name = name
         self.kwargs = dict(kwargs or {})
         self.epochs = epochs
         self.warmup = int(warmup or 0)
+        self.base_lr = float(base_lr) or 1.0
         self._plateau_scale = 1.0
         self._best: Optional[float] = None
         self._bad = 0
@@ -190,7 +191,9 @@ class LRScheduler:
             self._bad += 1
             if self._bad > int(k.get("patience", 10)):
                 factor = float(k.get("factor", 0.1))
-                min_scale = float(k.get("min_lr", 0.0))
+                # torch min_lr is an ABSOLUTE learning-rate floor — convert
+                # to a scale floor against the optimizer's base LR
+                min_scale = float(k.get("min_lr", 0.0)) / self.base_lr
                 self._plateau_scale = max(self._plateau_scale * factor, min_scale)
                 self._bad = 0
 
@@ -215,9 +218,11 @@ def build_optimizer(config: Dict[str, Any]) -> Optimizer:
 
 def build_scheduler(config: Dict[str, Any]) -> LRScheduler:
     sched = config.get("lr_scheduler") or {"name": "ConstantLR", "kwargs": {}}
+    opt_kwargs = (config.get("optimizer") or {}).get("kwargs") or {}
     return LRScheduler(
         sched.get("name", "ConstantLR"),
         sched.get("kwargs") or {},
         epochs=int(config.get("epoch", 1)),
         warmup=int(config.get("warmup", 0) or 0),
+        base_lr=float(opt_kwargs.get("lr", 1e-3)),
     )

@@ -415,10 +415,12 @@ class Trainer:
         save_part = cfg.get("save_part") or []
         if val_acc is not None and val_acc > self.best_val_acc:
             self.best_val_acc = val_acc
-            self.best_test_acc = max(self.best_test_acc, test_acc or -1.0)
+            # test accuracy AT the best-val epoch — not a running max
+            # (reference trainer.py:112-114); a max would report a number
+            # no selectable checkpoint achieves
+            if test_acc is not None:
+                self.best_test_acc = test_acc
             save_model(self.ckpt_dir, host_vars, epoch, SaveType.BEST, save_part=save_part)
-        if test_acc is not None:
-            self.best_test_acc = max(self.best_test_acc, test_acc)
         if (epoch + 1) % int(cfg.get("save_interval", 10)) == 0:
             save_model(self.ckpt_dir, host_vars, epoch, SaveType.NORMAL, save_part=save_part)
         save_model(
