@@ -43,34 +43,46 @@ def main() -> None:
     mesh = get_mesh()
     n_chips = len(mesh.devices.ravel())
 
-    # One eval batch: E episodes of 5-way 5-shot, 10 query clips/way,
+    # Eval batches: E episodes of 5-way 5-shot, 10 query clips/way,
     # single-segment queries (the throughput-defining dense path).
-    # 32 episodes/chip saturates the v5e (measured: 919→1196 eps/s from 8→32).
+    # 32 episodes/chip saturates the v5e (measured: 919→1196 eps/s, 8→32).
+    # DISTINCT device-resident batches per iteration: some runtimes
+    # (the axon tunnel) dedup-cache identical (fn, args) executions, which
+    # turns a same-batch loop into a no-op measurement.
     e = 32 * n_chips
     way, shot, query = 5, 5, 10
     spec = (1, 128, 157)
     rng = np.random.default_rng(0)
     sup = rng.normal(size=(e, way * shot) + spec).astype(np.float32)
     qry = rng.normal(size=(e, way * query) + spec).astype(np.float32)
-    batch = make_dense_episode_batch(sup, qry, way, shot, query)
+    dev_batch = shard_batch(make_dense_episode_batch(sup, qry, way, shot, query), mesh)
 
-    variables = method.init_variables(jax.random.PRNGKey(0), batch, setting)
+    variables = method.init_variables(jax.random.PRNGKey(0), dev_batch, setting)
     variables = jax.device_put(variables, replicate(mesh))
-    dev_batch = shard_batch(batch, mesh)
 
+    # Each timed call takes the previous call's (scalar) result as a salt
+    # folded into the inputs and returns a new scalar: the data dependency
+    # chains the executions, the changing salt makes every argument set
+    # novel, and ONE host transfer at the end forces real completion.
+    # Without this, the axon-tunnel runtime (a) treats block_until_ready as
+    # a no-op ack and (b) dedup-caches identical executions — a naive
+    # same-batch loop "measured" 500× the hardware's capability.
     @jax.jit
-    def eval_step(variables, batch):
+    def eval_step(variables, batch, salt):
+        batch = batch.replace(query=batch.query + salt * 1e-12)
         seg_logits = method.forward(variables, batch, setting)
-        return method.eval_episode_accuracy(seg_logits, batch)
+        acc = method.eval_episode_accuracy(seg_logits, batch)
+        return jnp.sum(acc)
 
-    # warmup + compile
-    eval_step(variables, dev_batch).block_until_ready()
+    salt0 = jax.device_put(np.float32(1.0), replicate(mesh))
+    float(eval_step(variables, dev_batch, salt0))  # compile + warm
 
     n_iters = 20
     t0 = time.perf_counter()
+    s = salt0
     for _ in range(n_iters):
-        acc = eval_step(variables, dev_batch)
-    acc.block_until_ready()
+        s = eval_step(variables, dev_batch, s)
+    float(s)  # single forced sync
     dt = time.perf_counter() - t0
 
     eps_per_sec = n_iters * e / dt
@@ -82,11 +94,13 @@ def main() -> None:
     one = jax.tree_util.tree_map(
         lambda x: jax.device_put(x[:1], replicate(mesh)), dev_batch
     )
-    eval_step(variables, one).block_until_ready()
+    s = jax.device_put(np.float32(1.0), replicate(mesh))
+    float(eval_step(variables, one, s))
     lats = []
-    for _ in range(30):
+    for i in range(30):
         t0 = time.perf_counter()
-        eval_step(variables, one).block_until_ready()
+        s = eval_step(variables, one, s)
+        float(s)  # forced per-call sync — this IS the latency metric
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1e3)
 
@@ -96,13 +110,18 @@ def main() -> None:
     wave = jnp.asarray(
         rng.normal(size=(64, 22050 * 5)).astype(np.float32)
     )
-    mel = log_mel_spectrogram(wave)
-    mel.block_until_ready()
+    # chained salt + single final sync, same anti-caching pattern
+    mel_step = jax.jit(
+        lambda w, s: jnp.mean(log_mel_spectrogram(w + s * 1e-12))
+    )
+    mel_shape = log_mel_spectrogram(wave).shape
+    s = jax.device_put(np.float32(1.0), replicate(mesh))
+    float(mel_step(wave, s))
     t0 = time.perf_counter()
     for _ in range(10):
-        mel = log_mel_spectrogram(wave)
-    mel.block_until_ready()
-    frames_per_sec = 10 * mel.shape[0] * mel.shape[-1] / (time.perf_counter() - t0)
+        s = mel_step(wave, s)
+    float(s)
+    frames_per_sec = 10 * mel_shape[0] * mel_shape[-1] / (time.perf_counter() - t0)
     print(
         json.dumps(
             {
