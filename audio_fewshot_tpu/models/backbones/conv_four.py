@@ -81,9 +81,51 @@ def conv64f(**kwargs) -> ConvNF:
     return ConvNF(features=64, **_clean(kwargs))
 
 
+class Conv32F(nn.Module):
+    """Conv32F (reference conv_four.py:161-200): four 3×3 conv blocks at
+    width 32, 2×2 stride-2 max pools after layers 1-3 (layer 4 unpooled),
+    raw flatten when ``is_flatten`` — NO logits projection head (that head
+    is Conv64F-only)."""
+
+    is_flatten: bool = False
+    is_feature: bool = False
+    leaky_relu: bool = False
+    negative_slope: float = 0.2
+    num_channels: int = 1
+    use_running_statistics: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        x = to_nhwc(x).astype(self.dtype)
+        maps = []
+        for i in range(4):
+            x = ConvBnAct(
+                features=32,
+                use_running_statistics=self.use_running_statistics,
+                leaky_relu=self.leaky_relu,
+                negative_slope=self.negative_slope,
+                dtype=self.dtype,
+                name=f"layer{i + 1}",
+            )(x, train)
+            if i < 3:
+                x = max_pool_floor(x, 2, 2)
+            maps.append(x)
+        out = x.astype(jnp.float32)
+        if self.is_flatten:
+            out = out.reshape(out.shape[0], -1)
+        else:
+            out = to_nchw(out)
+        if self.is_feature:
+            return tuple(to_nchw(m.astype(jnp.float32)) for m in maps[:-1]) + (out,)
+        return out
+
+
 @BACKBONES.register("Conv32F")
-def conv32f(**kwargs) -> ConvNF:
-    return ConvNF(features=32, **_clean(kwargs))
+def conv32f(**kwargs) -> Conv32F:
+    kwargs.pop("last_pool", None)
+    kwargs.pop("maxpool_last2", None)
+    return Conv32F(**_clean(kwargs))
 
 
 def _clean(kwargs):
@@ -91,10 +133,12 @@ def _clean(kwargs):
 
 
 class R2D2Embedding(nn.Module):
-    """R2D2's 4-block embedding, widths 96/192/384/512, output =
-    concat(flatten(block3), flatten(block4)) (reference conv_four.py:224-262).
-    Audio sizing: pools are 2×2 upstream; the audio fork keeps the reference
-    block structure with dropout on the last two blocks."""
+    """R2D2's 4-block embedding (reference conv_four.py:203-262 /
+    MetaOptNet): conv3×3 → BN → MaxPool2d(2, stride) → [LeakyReLU 0.1] →
+    [Dropout 0.1]; widths 96/192/384/512; block 3 keeps prob 0.9; block 4
+    has NO activation (the Gidaris accuracy trick, explicitly disabled in
+    the reference), keep-prob 0.9 and a stride-1 pool; output =
+    concat(flatten(block3), flatten(block4))."""
 
     num_channels: int = 1
     use_running_statistics: bool = True
@@ -103,22 +147,28 @@ class R2D2Embedding(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = to_nhwc(x).astype(self.dtype)
-        widths = (96, 192, 384, 512)
-        feats = []
-        for i, w in enumerate(widths):
-            x = ConvBnAct(
-                features=w,
+
+        def block(x, width, name, retain_activation=True, keep_prob=1.0,
+                  pool_stride=2):
+            x = nn.Conv(width, (3, 3), padding="SAME", use_bias=True,
+                        dtype=self.dtype, name=f"{name}_conv")(x)
+            x = BatchNorm(
                 use_running_statistics=self.use_running_statistics,
-                leaky_relu=True,
-                negative_slope=0.1,
-                dtype=self.dtype,
-                name=f"block{i + 1}",
+                dtype=self.dtype, name=f"{name}_bn",
             )(x, train)
-            x = max_pool_floor(x, 2, 2)
-            if i >= 2:
-                x = nn.Dropout(0.4, deterministic=not train)(x)
-                feats.append(x)
-        b3, b4 = feats
+            x = nn.max_pool(x, (2, 2), strides=(pool_stride, pool_stride),
+                            padding="VALID")
+            if retain_activation:
+                x = nn.leaky_relu(x, negative_slope=0.1)
+            if keep_prob < 1.0:
+                x = nn.Dropout(1.0 - keep_prob, deterministic=not train)(x)
+            return x
+
+        b1 = block(x, 96, "block1")
+        b2 = block(b1, 192, "block2")
+        b3 = block(b2, 384, "block3", keep_prob=0.9)
+        b4 = block(b3, 512, "block4", retain_activation=False, keep_prob=0.9,
+                   pool_stride=1)
         n = x.shape[0]
         out = jnp.concatenate(
             [b3.reshape(n, -1), b4.reshape(n, -1)], axis=-1

@@ -123,8 +123,10 @@ class DropBlock(nn.Module):
 
 
 def floor_power(num: int, divisor: int, power: int) -> int:
-    """Recursive floor-divide (reference conv_four.py:11-25) — used to size
-    the Conv64F logits projection for [128, 157] log-mel inputs."""
+    """Recursive floor-divide (reference conv_four.py:11-25).  The reference
+    uses it to size Conv64F's Linear input for [128, 157] log-mel inputs;
+    flax infers that shape, so this exists only to document/verify the
+    reference geometry in tests."""
     for _ in range(power):
         num = num // divisor
     return num

@@ -30,9 +30,11 @@ Dtype = Any
 
 
 class MtlConv(nn.Module):
-    """Meta-transfer conv: frozen base kernel with learnable per-output-
-    channel scale and shift (reference backbone/utils/mtl_module.py
-    ``Conv2dMtl`` — scale/shift are the only trainable parts in meta-train)."""
+    """Meta-transfer conv: frozen base kernel with learnable scale per
+    (in, out) channel pair and per-output shift (reference
+    backbone/utils/mtl_module.py ``Conv2dMtl`` — ``mtl_weight`` has shape
+    (out, in, 1, 1); scale/shift are the only trainable parts in
+    meta-train)."""
 
     features: int
     kernel_size: tuple = (3, 3)
@@ -48,12 +50,14 @@ class MtlConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.he_normal(), (kh, kw, cin, self.features)
         )
-        scale = self.param("mtl_scale", nn.initializers.ones, (1, 1, 1, self.features))
+        scale = self.param(
+            "mtl_scale", nn.initializers.ones, (1, 1, cin, self.features)
+        )
         shift = self.param("mtl_bias", nn.initializers.zeros, (self.features,))
         k = (jax.lax.stop_gradient(kernel) * scale).astype(self.dtype or x.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(k.dtype), k, window_strides=self.strides,
-            padding=self.padding if isinstance(self.padding, str) else self.padding,
+            padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y + shift.astype(y.dtype)
@@ -195,12 +199,63 @@ def resnet12(**kwargs):
     return ResNet12(**_clean(kwargs))
 
 
+class MtlBasicBlock(nn.Module):
+    """Two-conv residual block with MtlConv convs (reference
+    resnet_12_mtl_offcial.py BasicBlockMTL :160-209; stride on conv1,
+    1×1-conv downsample when shape changes)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out = MtlConv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
+        out = nn.relu(out)
+        out = MtlConv(self.planes, (3, 3), dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
+        residual = x
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = MtlConv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = BatchNorm(dtype=self.dtype, name="downsample_bn")(residual, train)
+        return nn.relu(out + residual)
+
+
+class ResNetMTLOfficial(nn.Module):
+    """MTL-official ResNet-12 (reference resnet_12_mtl_offcial.py:212-270):
+    3×3 Conv2dMtl stem to 80 channels, THREE stages of FOUR two-conv
+    MtlBasicBlocks at planes 160/320/640 (stride 2 on each stage's first
+    block), 10×10 stride-1 avg pool, flatten."""
+
+    num_channels: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = to_nhwc(x).astype(self.dtype)
+        x = MtlConv(80, (3, 3), dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(BatchNorm(dtype=self.dtype, name="bn1")(x, train))
+        for stage, planes in enumerate((160, 320, 640)):
+            for b in range(4):
+                x = MtlBasicBlock(
+                    planes, stride=2 if b == 0 else 1, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train)
+        x = x.astype(jnp.float32)
+        k = (min(10, x.shape[1]), min(10, x.shape[2]))
+        x = nn.avg_pool(x, k, strides=(1, 1), padding="VALID")
+        return x.reshape(x.shape[0], -1)
+
+
 @BACKBONES.register("resnet12MTLofficial")
 def resnet12mtl(**kwargs):
-    """MTL-official ResNet-12 (reference resnet_12_mtl_offcial.py): same
-    topology with Conv2dMtl scale/shift convolutions."""
     kwargs.pop("use_MTL", None)
-    return ResNet12(mtl=True, **_clean(kwargs))
+    kwargs.pop("MTL", None)
+    return ResNetMTLOfficial(**_clean(kwargs))
 
 
 @BACKBONES.register("resnet12woLSC")

@@ -135,7 +135,10 @@ class ResNet18BDC(nn.Module):
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        strides = (1, 2, 1, 1)
+        # stages 2 AND 3 downsample; the last stage is stride-1 to keep
+        # resolution for the covariance (reference resnet_bdc.py:165
+        # half_res = i >= 1 and j == 0 and i != 3)
+        strides = (1, 2, 2, 1)
         for stage, planes in enumerate((64, 128, 256, 512)):
             for b in range(2):
                 x = BasicBlock2(

@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...registry import BACKBONES
-from .layers import to_nhwc
+from .layers import to_nchw, to_nhwc
 
 Dtype = Any
 
@@ -51,14 +51,16 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    head_dim: int = 32  # fixed per reference (inner dim = heads * 32)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         # x: [B_, N=ws², C]
         b, nt, c = x.shape
-        head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        head_dim = self.head_dim
+        inner = self.num_heads * head_dim
+        qkv = nn.Dense(inner * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, nt, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
@@ -86,7 +88,7 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(b, self.num_heads, nt, nt)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, nt, self.dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b, nt, inner)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -95,6 +97,7 @@ class SwinBlock(nn.Module):
     num_heads: int
     window_size: int
     shift: int = 0
+    head_dim: int = 32
     mlp_ratio: float = 4.0
     dtype: Optional[Dtype] = None
 
@@ -120,7 +123,7 @@ class SwinBlock(nn.Module):
         win = window_partition(y, ws)
         win = WindowAttention(
             dim=c, num_heads=self.num_heads, window_size=ws,
-            dtype=self.dtype, name="attn",
+            head_dim=self.head_dim, dtype=self.dtype, name="attn",
         )(win, mask)
         y = window_reverse(win, ws, hp, wp)
         if shift:
@@ -136,11 +139,17 @@ class SwinBlock(nn.Module):
 
 
 class SwinTransformer(nn.Module):
-    patch_size: int = 4
+    """Stages of shifted-window blocks; each stage s starts with an
+    fs×fs patch-merge to ``embed_dim · 2^s`` channels (reference
+    ``downscaling_factors``, swin_transformer.py:374-390; stage-0 merge is
+    the patch embedding)."""
+
     embed_dim: int = 96
     depths: Sequence[int] = (2, 2, 6, 2)
     num_heads: Sequence[int] = (3, 6, 12, 24)
+    downscaling_factors: Sequence[int] = (4, 2, 2, 2)
     window_size: int = 7
+    head_dim: int = 32
     is_flatten: bool = True
     num_channels: int = 1
     dtype: Dtype = jnp.bfloat16
@@ -148,35 +157,31 @@ class SwinTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = to_nhwc(x).astype(self.dtype)
-        p = self.patch_size
-        n, h, w, _ = x.shape
-        x = x[:, : (h // p) * p, : (w // p) * p, :]
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
-
-        dim = self.embed_dim
-        for s, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+        for s, (depth, heads, f) in enumerate(
+            zip(self.depths, self.num_heads, self.downscaling_factors)
+        ):
+            dim = self.embed_dim * (2 ** s)
+            # f×f patch merge (f=1 keeps resolution, linear only)
+            n_, h_, w_, c_ = x.shape
+            hf, wf = (h_ // f) * f, (w_ // f) * f
+            x = x[:, :hf, :wf]
+            x = x.reshape(n_, hf // f, f, wf // f, f, c_)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n_, hf // f, wf // f, f * f * c_
+            )
+            x = nn.Dense(dim, dtype=self.dtype, name=f"merge{s}")(x)
             for b in range(depth):
                 x = SwinBlock(
                     dim=dim, num_heads=heads, window_size=self.window_size,
+                    head_dim=self.head_dim,
                     shift=0 if b % 2 == 0 else self.window_size // 2,
                     dtype=self.dtype, name=f"stage{s}_block{b}",
                 )(x, train)
-            if s < len(self.depths) - 1:
-                # patch merging: 2×2 concat + linear to 2·dim
-                n_, h_, w_, c_ = x.shape
-                h2, w2 = (h_ // 2) * 2, (w_ // 2) * 2
-                x = x[:, :h2, :w2]
-                x = x.reshape(n_, h2 // 2, 2, w2 // 2, 2, c_)
-                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n_, h2 // 2, w2 // 2, 4 * c_)
-                x = nn.LayerNorm(dtype=self.dtype, name=f"merge_norm{s}")(x)
-                x = nn.Dense(2 * dim, use_bias=False, dtype=self.dtype,
-                             name=f"merge{s}")(x)
-                dim *= 2
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(jnp.float32)
-        x = jnp.mean(x, axis=(1, 2))
-        return x
+        if not self.is_flatten:
+            return to_nchw(x)
+        return jnp.mean(x, axis=(1, 2))
 
 
 def _clean(kwargs):
@@ -185,8 +190,10 @@ def _clean(kwargs):
 
 @BACKBONES.register("swin_mini")
 def swin_mini(**kwargs):
-    return SwinTransformer(embed_dim=48, depths=(2, 2, 2), num_heads=(3, 6, 12),
-                           **_clean(kwargs))
+    # reference swin_mini: 4 stages, hidden 48, downscaling (3, 2, 2, 1)
+    return SwinTransformer(embed_dim=48, depths=(2, 2, 2, 2),
+                           num_heads=(3, 6, 12, 24),
+                           downscaling_factors=(3, 2, 2, 1), **_clean(kwargs))
 
 
 @BACKBONES.register("swin_t")

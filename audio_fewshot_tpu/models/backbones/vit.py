@@ -67,7 +67,8 @@ class VisionTransformer(nn.Module):
         p = self.patch_size
         n, h, w, _ = x.shape
         x = x[:, : (h // p) * p, : (w // p) * p, :]
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), name="patch_embed")(x)
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype,
+                    name="patch_embed")(x)
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(n, gh * gw, self.embed_dim)
 

@@ -18,7 +18,13 @@ class Registry:
 
     def register(self, name: Optional[str] = None):
         def deco(fn):
-            self._factories[name or fn.__name__] = fn
+            key = name or fn.__name__
+            if key in self._factories:
+                raise ValueError(
+                    f"duplicate {self.kind} registration {key!r} — a config "
+                    "naming it would silently build the wrong component"
+                )
+            self._factories[key] = fn
             return fn
 
         return deco

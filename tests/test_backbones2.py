@@ -51,16 +51,17 @@ def test_clap_backbone_raises_without_dep():
 
 
 def test_resnet12_mtl_scale_shift():
-    out, v = _run("resnet12MTLofficial",
-                  {"num_channels": 1, "avg_pool": False, "is_flatten": True},
-                  shape=(2, 1, 36, 44))
-    assert out.shape[0] == 2
-    p = v["params"]["layer1"]["conv1"]
+    out, v = _run("resnet12MTLofficial", {"num_channels": 1},
+                  shape=(2, 1, 80, 88))
+    assert out.shape == (2, 640)
+    p = v["params"]["layer1_0"]["conv1"]
     assert "mtl_scale" in p and "mtl_bias" in p
+    # per (in, out) channel-pair scale (reference mtl_weight (out,in,1,1))
+    assert p["mtl_scale"].shape == (1, 1, 80, 160)
     # base kernel is frozen: grads w.r.t. kernel must be zero
     net = BACKBONES.build("resnet12MTLofficial", dtype=jnp.float32,
-                          num_channels=1, avg_pool=False, is_flatten=True)
-    x = jnp.ones((2, 1, 36, 44))
+                          num_channels=1)
+    x = jnp.ones((2, 1, 80, 88))
 
     def loss_fn(params):
         out, _ = net.apply({**v, "params": params}, x, train=False,
@@ -68,8 +69,8 @@ def test_resnet12_mtl_scale_shift():
         return jnp.sum(out ** 2)
 
     grads = jax.grad(loss_fn)(v["params"])
-    gk = grads["layer1"]["conv1"]["kernel"]
-    gs = grads["layer1"]["conv1"]["mtl_scale"]
+    gk = grads["layer1_0"]["conv1"]["kernel"]
+    gs = grads["layer1_0"]["conv1"]["mtl_scale"]
     assert float(jnp.sum(jnp.abs(gk))) == 0.0
     assert float(jnp.sum(jnp.abs(gs))) > 0.0
 
