@@ -52,7 +52,7 @@ def test_clap_backbone_raises_without_dep():
 
 def test_resnet12_mtl_scale_shift():
     out, v = _run("resnet12MTLofficial", {"num_channels": 1},
-                  shape=(2, 1, 80, 88))
+                  shape=(2, 1, 80, 80))
     assert out.shape == (2, 640)
     p = v["params"]["layer1_0"]["conv1"]
     assert "mtl_scale" in p and "mtl_bias" in p
@@ -61,7 +61,7 @@ def test_resnet12_mtl_scale_shift():
     # base kernel is frozen: grads w.r.t. kernel must be zero
     net = BACKBONES.build("resnet12MTLofficial", dtype=jnp.float32,
                           num_channels=1)
-    x = jnp.ones((2, 1, 80, 88))
+    x = jnp.ones((2, 1, 80, 80))
 
     def loss_fn(params):
         out, _ = net.apply({**v, "params": params}, x, train=False,
