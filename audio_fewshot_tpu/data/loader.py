@@ -191,9 +191,13 @@ class EpisodicLoader:
             s = q = 0
             for w, cls in enumerate(plan.classes):
                 for k in plan.support[w]:
-                    support[i, s] = ds.clips[cls][k][0]
-                    global_sup[i, s] = cls + ds.class_offset
-                    s += 1
+                    # augment_times copies per support clip, mirroring the
+                    # train branch — eval support is inflated too (reference
+                    # test.py:641 test_shot × augment_times)
+                    for _ in range(self.augment_times):
+                        support[i, s] = ds.clips[cls][k][0]
+                        global_sup[i, s] = cls + ds.class_offset
+                        s += 1
                 for k in plan.query[w]:
                     segs = ds.clips[cls][k]
                     seg_list.append(segs)

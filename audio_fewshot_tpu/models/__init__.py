@@ -13,6 +13,14 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
     backbone_extra = {"num_channels": 1 if config.get("modality") == "audio" else 3}
     bk_kwargs = dict(config["backbone"].get("kwargs") or {})
     bk_kwargs.update({k: v for k, v in backbone_extra.items() if k not in bk_kwargs})
+    # MAML-family heads apply the backbone under explicit (adapted) params and
+    # never merge running-stat updates — they require batch-stat BN (the
+    # reference's BatchNorm2d_fw always uses batch statistics,
+    # backbone/utils/maml_module.py:84-108).  Force it here so shipped
+    # configs don't have to remember the knob.
+    cls_factory = CLASSIFIERS.get(config["classifier"]["name"])
+    if getattr(cls_factory, "requires_batch_stat_bn", False):
+        bk_kwargs.setdefault("use_running_statistics", False)
     if precision == "fp32":
         import jax.numpy as jnp
 

@@ -42,6 +42,10 @@ def _ce(logits, targets):
 
 class MAMLBase(MethodBase):
     model_type = ModelType.META
+    #: the inner loop applies the backbone with ``train=False`` and never
+    #: merges batch_stats — build_method forces batch-stat BN (reference
+    #: BatchNorm2d_fw semantics, maml_module.py:84-108)
+    requires_batch_stat_bn = True
 
     def __init__(self, emb_func, inner_param: Optional[Dict] = None,
                  feat_dim: Optional[int] = None, way_num: int = 5, **kwargs):

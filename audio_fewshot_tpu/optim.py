@@ -160,7 +160,11 @@ class LRScheduler:
             # reference builds LambdaLR with an eval'd lambda string
             fn = k.get("lr_lambda")
             if isinstance(fn, str):
-                fn = eval(fn)  # noqa: S307 — reference parity (trainer.py:570)
+                # reference parity (trainer.py:570 eval's the string) — but
+                # evaluated in a restricted namespace: no builtins, only math
+                fn = eval(  # noqa: S307
+                    fn, {"__builtins__": {}}, {"math": math}
+                )
             return float(fn(epoch)) if fn else 1.0
         if name == "ReduceLROnPlateau":
             return 1.0  # handled by _plateau_scale

@@ -38,6 +38,14 @@ class Registry:
     def names(self):
         return sorted(self._factories)
 
+    def get(self, name: str) -> Callable[..., Any]:
+        """The registered factory itself (for pre-build attribute checks)."""
+        if name not in self._factories:
+            raise KeyError(
+                f"unknown {self.kind} {name!r}; registered: {self.names()}"
+            )
+        return self._factories[name]
+
     def build(self, name: str, **kwargs) -> Any:
         if name not in self._factories:
             raise KeyError(

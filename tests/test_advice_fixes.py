@@ -1,0 +1,80 @@
+"""Regression tests for round-1 advisor findings (ADVICE.md)."""
+
+import numpy as np
+
+
+def _maml_config(**extra):
+    cfg = {
+        "backbone": {
+            "name": "Conv64F",
+            "kwargs": {"is_flatten": False, "last_pool": False,
+                       "maxpool_last2": False, "num_channels": 1},
+        },
+        "classifier": {
+            "name": "MAML",
+            "kwargs": {"inner_param": {"lr": 0.01, "train_iter": 1, "test_iter": 1}},
+        },
+        "modality": "audio",
+        "way_num": 3,
+        "shot_num": 1,
+        "query_num": 2,
+        "augment_times": 1,
+    }
+    cfg.update(extra)
+    return cfg
+
+
+def test_maml_family_forces_batch_stat_bn():
+    """ADVICE #2: MAML/ANIL/BOIL apply the backbone with train=False and
+    never merge batch_stats, so build_method must force batch-stat BN
+    (reference BatchNorm2d_fw always uses batch statistics)."""
+    from audio_fewshot_tpu.models import build_method
+
+    for name in ("MAML", "ANIL", "BOIL"):
+        cfg = _maml_config()
+        cfg["classifier"]["name"] = name
+        method = build_method(cfg)
+        assert method.emb_func.use_running_statistics is False, name
+
+    # explicit config key still wins
+    cfg = _maml_config()
+    cfg["backbone"]["kwargs"]["use_running_statistics"] = True
+    assert build_method(cfg).emb_func.use_running_statistics is True
+
+    # non-MAML methods keep the default running-stat BN
+    cfg = _maml_config()
+    cfg["classifier"] = {"name": "ProtoNet", "kwargs": None}
+    cfg["backbone"]["kwargs"] = {"is_flatten": False, "num_channels": 1}
+    assert build_method(cfg).emb_func.use_running_statistics is True
+
+
+def test_maml_inner_loop_sees_batch_stats():
+    """With forced batch-stat BN, MAML's backbone application must differ
+    between two batches with different statistics (running-stat BN with
+    never-updated init stats would normalize both with mean 0 / var 1 and
+    an identity affine — i.e. produce feature maps tracking raw input
+    scale; batch-stat BN renormalizes per batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_fewshot_tpu.episode import make_dense_episode_batch
+    from audio_fewshot_tpu.models import build_method, train_setting
+
+    cfg = _maml_config()
+    method = build_method(cfg)
+    setting = train_setting(cfg)
+    rng = np.random.default_rng(0)
+    spec = (1, 16, 12)
+    sup = rng.normal(size=(1, 3, *spec)).astype(np.float32)
+    qry = rng.normal(size=(1, 6, *spec)).astype(np.float32)
+    batch = make_dense_episode_batch(sup, qry, 3, 1, 2)
+    variables = method.init_variables(jax.random.PRNGKey(0), batch, setting)
+
+    x = jnp.asarray(sup[0])
+    f1, _ = method._net(variables["params"], variables.get("batch_stats"), x)
+    f2, _ = method._net(variables["params"], variables.get("batch_stats"), x * 100.0)
+    # batch-stat BN renormalizes per batch → logits stay the same order of
+    # magnitude under 100× input scaling (running-stat BN with init stats
+    # would scale them ~100×); conv biases keep it from being exact
+    assert np.abs(np.asarray(f2)).max() < 5 * np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=0.25)

@@ -96,6 +96,30 @@ def test_episodic_loader_eval_ragged():
     assert np.all(np.asarray(b.query)[mask == 0] == 0)
 
 
+def test_episodic_loader_eval_augment_times_fills_support():
+    """Regression: the eval branch must write augment_times copies per
+    support clip — previously it left uninitialized np.empty rows and
+    misaligned rows against the way-major support_target."""
+    ds = _tiny_ds(max_segments=2)
+    ld = EpisodicLoader(ds, way=3, shot=2, query=2, episodes_per_epoch=2,
+                        episode_size=1, mode="eval", prefetch=0,
+                        augment_times=2)
+    b = next(iter(ld.epoch(0)))
+    sup = np.asarray(b.support)
+    assert sup.shape[1] == 3 * 2 * 2  # way * shot * augment_times
+    # no uninitialized garbage: all rows bounded by the dataset's value range
+    assert np.isfinite(sup).all()
+    assert np.abs(sup).max() < 1e3
+    # consecutive augment copies are identical segments of the same clip
+    np.testing.assert_array_equal(sup[:, 0::2], sup[:, 1::2])
+    # global labels aligned way-major with the inflated shot axis
+    gsup = np.asarray(b.global_target)[:, : 3 * 4]
+    np.testing.assert_array_equal(gsup[:, 0::2], gsup[:, 1::2])
+    np.testing.assert_array_equal(
+        np.asarray(b.support_target[0]), np.repeat([0, 1, 2], 4)
+    )
+
+
 def test_flat_loader():
     ds = _tiny_ds()
     ld = FlatLoader(ds, batch_size=16, seed=0)
