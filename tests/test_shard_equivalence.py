@@ -1,0 +1,129 @@
+"""Sharded-vs-single-device numerical equivalence (VERDICT round 1, item 4).
+
+The reference's DDP all-reduces gradients across GPUs (trainer.py:504-509);
+under pjit the same contraction is an XLA collective implied by the episode
+axis sharding.  A wrong PartitionSpec would still *run* — these tests pin
+that the 8-device mesh computes the same losses, the same parameter
+trajectory, and the same eval logits as the 1-device mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from audio_fewshot_tpu.episode import make_dense_episode_batch
+from audio_fewshot_tpu.models import build_method, train_setting
+from audio_fewshot_tpu.optim import build_optimizer
+from audio_fewshot_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+
+
+def _config():
+    return {
+        "backbone": {
+            "name": "Conv64F",
+            "kwargs": {"is_flatten": False, "last_pool": False,
+                       "maxpool_last2": False, "num_channels": 1},
+        },
+        "classifier": {"name": "ProtoNet", "kwargs": None},
+        "modality": "audio",
+        "precision": "fp32",
+        "way_num": 3, "shot_num": 2, "query_num": 2,
+        "augment_times": 1,
+        "optimizer": {"name": "SGD", "kwargs": {"lr": 0.05}},
+    }
+
+
+def _batches(n_steps, episodes=8):
+    rng = np.random.default_rng(0)
+    spec = (1, 24, 30)
+    out = []
+    for _ in range(n_steps):
+        sup = rng.normal(size=(episodes, 3 * 2) + spec).astype(np.float32)
+        qry = rng.normal(size=(episodes, 3 * 2) + spec).astype(np.float32)
+        out.append(make_dense_episode_batch(sup, qry, 3, 2, 2))
+    return out
+
+
+def _run(n_devices, batches):
+    config = _config()
+    method = build_method(config)
+    setting = train_setting(config)
+    optimizer = build_optimizer(config)
+    mesh = get_mesh(n_devices)
+
+    variables = method.init_variables(jax.random.PRNGKey(0), batches[0], setting)
+    variables = jax.device_put(variables, replicate(mesh))
+    opt_state = jax.device_put(optimizer.init(variables["params"]), replicate(mesh))
+    lr_groups = optimizer.lr_tree(variables["params"], 1.0)
+
+    def train_step(variables, opt_state, batch, lr_groups, step_rng):
+        non_params = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            return method.loss(
+                {**non_params, "params": params}, batch, setting, step_rng
+            )
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        params, opt_state = optimizer.apply(
+            grads, opt_state, variables["params"], lr_groups
+        )
+        new_vars = {**non_params, "params": params}
+        if out.updates:
+            new_vars = method.merge_updates(new_vars, out.updates)
+        return new_vars, opt_state, loss
+
+    step = jax.jit(train_step)
+    losses = []
+    for i, batch in enumerate(batches):
+        dev_batch = shard_batch(batch, mesh)
+        variables, opt_state, loss = step(
+            variables, opt_state, dev_batch, lr_groups, jax.random.PRNGKey(7)
+        )
+        losses.append(float(jax.device_get(loss)))
+
+    fwd = jax.jit(lambda v, b: method.forward(v, b, setting))
+    logits = np.asarray(jax.device_get(fwd(variables, shard_batch(batches[0], mesh))))
+    params = jax.device_get(variables["params"])
+    return losses, logits, params
+
+
+def test_train_step_matches_across_mesh_sizes():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    batches = _batches(3)
+    losses1, logits1, params1 = _run(1, batches)
+    losses8, logits8, params8 = _run(8, batches)
+
+    # losses are pre-update each step — tight tolerance catches a wrong
+    # PartitionSpec (O(1) error) immediately
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-5, atol=1e-6)
+    # after 3 SGD steps the only expected difference is collective
+    # reduction-order fp noise (~1e-4 relative), amplified through BN stats
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-3, atol=1e-2)
+    flat1 = jax.tree_util.tree_leaves(params1)
+    flat8 = jax.tree_util.tree_leaves(params8)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
+        )
+
+
+def test_eval_accuracy_matches_across_mesh_sizes():
+    from audio_fewshot_tpu.utils.aggregate import majority_vote, vote_categorical_acc
+
+    batches = _batches(1)
+    _, logits1, _ = _run(1, batches)
+    _, logits8, _ = _run(8, batches)
+    b = batches[0]
+    for logits in (logits1, logits8):
+        pred = majority_vote(
+            jax.numpy.asarray(logits), jax.numpy.asarray(b.query_clip),
+            jax.numpy.asarray(b.query_mask), b.query_clip.shape[-1],
+        )
+        acc = vote_categorical_acc(jax.numpy.asarray(b.query_target), pred)
+        assert np.isfinite(float(acc))
+    np.testing.assert_array_equal(
+        np.argmax(logits1, axis=-1), np.argmax(logits8, axis=-1)
+    )
