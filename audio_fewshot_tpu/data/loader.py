@@ -48,9 +48,42 @@ def get_mean_std(config: Dict[str, Any], mode: str = "train", modality: str = "a
     return 0.0, 1.0
 
 
-def build_dataset(config: Dict[str, Any], mode: str) -> SpectrogramDataset:
+def resolve_data_sources(config: Dict[str, Any], mode: str) -> Tuple[str, Optional[str]]:
+    """``(data_root, mean_std_file)`` for a split, honoring the OOD protocol.
+
+    The reference's ``ood`` key was consumed by the snapshot-missing data
+    package; the observable contract (SURVEY §0): iid and ood leaf configs
+    differ ONLY in the flag (config/proto/proto_5shot_iid_seed0.yaml vs
+    config/proto/ood/) while both keep the ``KOS_1_alpha`` data_root and
+    Clean mean/std — so the flag must redirect the TEST split to the
+    spurious-correlation data variant.  Reconstruction:
+
+    - explicit ``ood_data_root`` / ``ood_mean_std_file`` keys win;
+    - else the ``KOS_<alpha>_alpha`` components of ``data_root`` are
+      substituted with ``KOS_0_alpha`` (the correlation-free variant whose
+      stats ship in Auxiliary/KOS_0_alpha_Mean_Std.npy);
+    - normalization stays the config's (Clean) stats unless overridden,
+      matching the reference's use of Clean stats for TTA (test.py:397-398).
+    """
     data_root = str(config.get("data_root") or "synthetic")
-    mean, std = get_mean_std(config, mode, config.get("modality", "audio"))
+    mean_std = config.get("mean_std_file")
+    if mode == "test" and config.get("ood"):
+        import re
+
+        if config.get("ood_data_root"):
+            data_root = str(config["ood_data_root"])
+        else:
+            data_root = re.sub(r"KOS_[0-9.]+_alpha", "KOS_0_alpha", data_root)
+        if config.get("ood_mean_std_file"):
+            mean_std = config["ood_mean_std_file"]
+    return data_root, mean_std
+
+
+def build_dataset(config: Dict[str, Any], mode: str) -> SpectrogramDataset:
+    data_root, mean_std_file = resolve_data_sources(config, mode)
+    cfg_for_stats = dict(config)
+    cfg_for_stats["mean_std_file"] = mean_std_file
+    mean, std = get_mean_std(cfg_for_stats, mode, config.get("modality", "audio"))
     seg_frames = config.get("segment_frames", DEFAULT_SEGMENT_FRAMES)
 
     syn = parse_synthetic_root(data_root)
@@ -61,12 +94,15 @@ def build_dataset(config: Dict[str, Any], mode: str) -> SpectrogramDataset:
         offsets = {"train": 0, "val": sizes["train"], "test": sizes["train"] + 5}
         max_seg = 1 if mode == "train" else int(config.get("max_segments_per_clip", 8))
         spec_shape = tuple(config.get("spec_shape") or (1, 128, seg_frames))
+        # synthetic OOD twin: same classes, shifted generator seed — a
+        # distribution shift standing in for the spurious-correlation variant
+        ood_shift = 100 if (mode == "test" and config.get("ood")) else 0
         return SpectrogramDataset.synthetic(
             num_classes=sizes[mode],
             clips_per_class=syn["clips_per_class"],
             segment_shape=spec_shape,
             max_segments=max_seg,
-            seed=int(config.get("seed", 0)) + _SPLIT_INDEX[mode],
+            seed=int(config.get("seed", 0)) + _SPLIT_INDEX[mode] + ood_shift,
             class_offset=offsets[mode],
         )
 
@@ -314,6 +350,17 @@ def get_dataloader(
 ) -> List[Any]:
     """Reference public surface: returns a LIST of ``dataloader_num`` loaders
     (the reference train loop zips them — trainer.py:159)."""
+    atq = int(config.get("augment_times_query", 1) or 1)
+    if atq != 1:
+        # the reference's data package (missing from the snapshot) is the
+        # only consumer; its model kwargs never inflate query_num
+        # (trainer.py:442-453) so the episode-geometry semantics are
+        # unrecoverable — fail loudly instead of silently ignoring the key
+        raise ValueError(
+            f"augment_times_query={atq} is not supported: the reference's "
+            "consumer is absent from the snapshot and every shipped config "
+            "sets 1 (config/headers/data.yaml)"
+        )
     dataset = build_dataset(config, mode)
     seed = int(config.get("seed", 0))
 

@@ -122,10 +122,16 @@ class CAN(MethodBase):
                 {"params": variables["params"]["global_fc"]}, true_att
             )
             g_qry = batch.global_target[:, sup.shape[1]:]
-            if glogits.shape[:2] == g_qry.shape:
-                loss = loss + cross_entropy(
-                    glogits.reshape(-1, self.num_classes), g_qry.reshape(-1)
-                )
+            # a silent skip here would train without the aux term and
+            # without a sound — fail loudly on a wrong global_target layout
+            assert glogits.shape[:2] == g_qry.shape, (
+                f"CAN global-CE layout mismatch: attended logits "
+                f"{glogits.shape[:2]} vs query global targets {g_qry.shape} "
+                "(global_target must be [support ‖ query] along axis 1)"
+            )
+            loss = loss + cross_entropy(
+                glogits.reshape(-1, self.num_classes), g_qry.reshape(-1)
+            )
         return loss, LossOutput(
             seg_logits=seg_logits,
             metrics=self.train_metrics(seg_logits, batch),

@@ -27,9 +27,12 @@ def dsn_logits(query_feat, support_feat, way, shot, normalize=True):
     """query [E,G,d], support [E,way·shot,d] → ([E,G,way], subspaces)."""
     e, ws, d = support_feat.shape
     sup = support_feat.reshape(e, way, shot, d)
-    # [E,way,d,shot] → left singular vectors [E,way,d,min(d,shot)]
+    # [E,way,d,shot] → left singular vectors [E,way,d,min(d,shot)].
+    # fp32 SVD: a float64 cast would be a silent no-op with jax x64 disabled
+    # (the default, and the TPU configuration) — don't promise precision the
+    # run doesn't get.  The shot×shot systems are tiny and well-conditioned.
     uu, _, _ = jnp.linalg.svd(
-        sup.transpose(0, 1, 3, 2).astype(jnp.float64), full_matrices=False
+        sup.transpose(0, 1, 3, 2).astype(jnp.float32), full_matrices=False
     )
     k = max(shot - 1, 1)
     subspace = uu[..., :k].astype(query_feat.dtype)  # [E,way,d,k]

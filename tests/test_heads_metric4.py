@@ -54,6 +54,19 @@ def test_head_runs(classifier, kwargs):
     assert np.all(np.isfinite(np.asarray(seg_logits))), classifier
 
 
+def test_can_global_ce_rejects_bad_target_layout():
+    """The global-CE shape guard is an assert, not a silent skip (VERDICT r1
+    honesty fix): a wrong global_target layout must fail, not train without
+    the aux term."""
+    method = build("CAN", scale_cls=7.0, num_classes=6)
+    batch = make_batch()
+    variables = method.init_variables(jax.random.PRNGKey(0), batch, SETTING)
+    # truncate the global targets → query slice has the wrong width
+    bad = batch.replace(global_target=batch.global_target[:, :-2])
+    with pytest.raises(AssertionError, match="global-CE layout"):
+        method.loss(variables, bad, SETTING, jax.random.PRNGKey(1))
+
+
 def test_bpa_transform_properties():
     from audio_fewshot_tpu.ops.bpa import bpa_transform
 
