@@ -68,6 +68,10 @@ class Test:
 
         self.enhance_via_energy = bool(config.get("enhance_classification_via_energy", False))
         self.num_augmentations = int(config.get("num_augmentations", 10))
+        self.tta_segments_per_clip = int(
+            config.get("tta_segments_per_clip")
+            or config.get("max_segments_per_clip", 8)
+        )
         self.tta_mean, self.tta_std = 0.0, 1.0
 
     def _load_model(self):
@@ -92,10 +96,19 @@ class Test:
 
     def _tta_eval_step(self, variables, batch, rng, setting: EpisodeSetting):
         """Energy-OOD + TTA re-classification (reference test.py:331-500):
-        flag the top-20 % most-uncertain query clips, add
-        ``num_augmentations`` noise-suppressed copies of each flagged clip's
-        first segment to its vote pool, and re-take the majority vote.
-        All static shapes — the flagged count is a fixed fraction."""
+        flag the top-20 % most-uncertain query clips, REPLACE each flagged
+        clip's segments with ``num_augmentations`` noise-suppressed copies of
+        each, and re-take the majority vote over the augmented pool.
+
+        This is the reference's *intended* semantics: ``augment_images_with_
+        mask`` (test.py:107-122) substitutes every segment of a flagged clip
+        with M augmented versions (originals dropped) and re-runs the model
+        on the enlarged batch.  The reference's repeats bookkeeping
+        (``repeats[idxs] += M-1``, test.py:413) is only coherent for
+        single-segment clips — multi-segment flagged clips shift every later
+        clip's alignment; here the segment gather is per-clip and exact.
+        All static shapes — flagged count and per-clip segment cap are fixed.
+        """
         from .ops.audio_augmentations import batch_augment_spectrogram
         from .utils.aggregate import clip_vote_counts
 
@@ -110,40 +123,47 @@ class Test:
             sup_f, qry_f = apply_bpa(sup_f, qry_f, batch.query_mask)
         seg_logits = method.feature_logits(sup_f, qry_f, setting)
 
-        e = batch.num_episodes
         wq = batch.num_query_clips
         uncertains, _ = method.clip_uncertainty(seg_logits, batch)
         top_idx = method.ood_topk(uncertains)
         k = top_idx.shape[0]
+        m = self.num_augmentations
         ep_idx = top_idx // wq
         clip_idx = top_idx % wq
 
-        # first valid segment of each flagged clip
+        # all valid segments of each flagged clip, capped at a static S
+        # (the padded segment axis is static; S defaults to the loader's
+        # max_segments_per_clip so nothing is dropped)
         is_clip = (batch.query_clip[ep_idx] == clip_idx[:, None]) & (
             batch.query_mask[ep_idx] > 0
-        )
-        first_pos = jnp.argmax(is_clip, axis=1)
-        segments = batch.query[ep_idx, first_pos]  # [K, C, H, W]
+        )  # [K, G]
+        s_cap = min(self.tta_segments_per_clip, is_clip.shape[1])
+        order = jnp.argsort(~is_clip, axis=1, stable=True)[:, :s_cap]  # [K, S]
+        seg_valid = jnp.take_along_axis(is_clip, order, axis=1)  # [K, S]
+        segments = batch.query[ep_idx[:, None], order]  # [K, S, C, H, W]
 
         aug = batch_augment_spectrogram(
-            rng, segments, self.tta_mean, self.tta_std,
-            num_augmentations=self.num_augmentations,
+            rng, segments.reshape((k * s_cap,) + segments.shape[2:]),
+            self.tta_mean, self.tta_std,
+            num_augmentations=m,
             augmentation_type="noise_suppression",
-        )
-        aug_f = method.embed_segments(variables, aug).reshape(
-            k, self.num_augmentations, -1
-        )
-        # each flagged clip acts as a tiny episode vs its own support set
+        )  # [K*S*M, C, H, W]
+        aug_f = method.embed_segments(variables, aug).reshape(k, s_cap * m, -1)
+        # each flagged clip scores vs its own episode's support set
         aug_logits = method.feature_logits(sup_f[ep_idx], aug_f, setting)
 
         votes = clip_vote_counts(
             seg_logits, batch.query_clip, batch.query_mask, wq
         )  # [E, Wq, way]
         way = votes.shape[-1]
-        aug_votes = jax.nn.one_hot(
-            jnp.argmax(aug_logits, axis=-1), way
-        ).sum(axis=1)  # [K, way]
-        votes = votes.at[ep_idx, clip_idx].add(aug_votes)
+        aug_pred = jax.nn.one_hot(jnp.argmax(aug_logits, axis=-1), way)
+        aug_pred = aug_pred.reshape(k, s_cap, m, way)
+        aug_votes = jnp.sum(
+            aug_pred * seg_valid[:, :, None, None], axis=(1, 2)
+        )  # [K, way]
+        # REPLACE the flagged clips' vote pools (reference substitution
+        # semantics: the original segments are not re-scored)
+        votes = votes.at[ep_idx, clip_idx].set(aug_votes)
         preds = jnp.argmax(votes, axis=-1).astype(jnp.int32)
         return jnp.mean(
             (preds == batch.query_target).astype(jnp.float32), axis=-1
@@ -168,11 +188,21 @@ class Test:
             )
             self.logger.info("uncertainty threshold: %s", th)
         if energy:
-            # TTA de/re-normalization stats — the reference always uses the
-            # Clean stats here (test.py:398)
+            # TTA de/re-normalization stats — the reference always loads the
+            # CLEAN stats here, regardless of the config's mean_std_file
+            # (test.py:397-398 hard-codes ./Auxiliary/Clean_Mean_Std.npy)
             from .data import get_mean_std
+            from .data.dataset import load_mean_std
 
-            self.tta_mean, self.tta_std = get_mean_std(cfg, "test")
+            clean = cfg.get("tta_mean_std_file", "./Auxiliary/Clean_Mean_Std.npy")
+            if clean and os.path.isfile(clean):
+                self.tta_mean, self.tta_std = load_mean_std(clean)
+            else:
+                self.logger.warning(
+                    "Clean stats %s not found — TTA falls back to the "
+                    "config's mean_std_file", clean,
+                )
+                self.tta_mean, self.tta_std = get_mean_std(cfg, "test")
             self.logger.info(
                 "energy-OOD TTA enabled: %d augmentations, top %.0f%% flagged",
                 self.num_augmentations, 100 * self.method.ood_fraction,
