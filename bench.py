@@ -122,11 +122,44 @@ def main() -> None:
         s = mel_step(wave, s)
     float(s)
     frames_per_sec = 10 * mel_shape[0] * mel_shape[-1] / (time.perf_counter() - t0)
+
+    # -- ragged/bucketed eval (the real KOS protocol: multi-segment query
+    # clips, clip-id + mask packing — VERDICT r1 item 10) -------------------
+    from audio_fewshot_tpu.episode import pack_ragged_episode_batch
+
+    e_r = 8 * n_chips
+    max_seg = 8
+    rep_rng = np.random.default_rng(1)
+    repeats = rep_rng.integers(1, max_seg + 1, size=(e_r * way * query,))
+    seg_total = int(repeats.sum())
+    sup_r = rng.normal(size=(e_r, way * shot) + spec).astype(np.float32)
+    segs = rng.normal(size=(seg_total,) + spec).astype(np.float32)
+    ragged = pack_ragged_episode_batch(
+        sup_r.reshape(e_r, way * shot, *spec), segs, repeats, way, shot, query
+    )
+    dev_ragged = shard_batch(ragged, mesh)
+    s = jax.device_put(np.float32(1.0), replicate(mesh))
+    float(eval_step(variables, dev_ragged, s))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(10):
+        s = eval_step(variables, dev_ragged, s)
+    float(s)
+    ragged_per_chip = 10 * e_r / (time.perf_counter() - t0) / n_chips
+    # mask waste: valid segments / padded segment slots
+    occupancy = float(np.asarray(ragged.query_mask).mean())
+
+    # -- flagship DeepBDC/resnet12Bdc eval (the entry() config) -------------
+    flag_per_chip, flag_mfu = _flagship_metrics(n_chips, mesh)
+
     print(
         json.dumps(
             {
                 "p50_episode_latency_ms": round(p50_ms, 3),
                 "mel_frames_per_sec": round(frames_per_sec, 1),
+                "ragged_eval_eps_per_sec_per_chip": round(ragged_per_chip, 2),
+                "ragged_bucket_occupancy": round(occupancy, 3),
+                "flagship_deepbdc_eps_per_sec_per_chip": round(flag_per_chip, 2),
+                "flagship_mfu_vs_v5e_bf16_peak": round(flag_mfu, 3),
             }
         ),
         file=sys.stderr,
@@ -140,9 +173,69 @@ def main() -> None:
                 "value": round(per_chip, 2),
                 "unit": "episodes/s/chip",
                 "vs_baseline": round(per_chip / baseline_per_chip, 3),
+                "flagship_deepbdc_eps_per_sec_per_chip": round(flag_per_chip, 2),
+                "flagship_mfu": round(flag_mfu, 3),
             }
         )
     )
+
+
+def _flagship_metrics(n_chips, mesh):
+    """DeepBDC/resnet12Bdc eval eps/s/chip + MFU at the measured saturation
+    point (16 episodes/chip — tools/bench_flagship.py sweep).  The path is
+    architecture-bound: 1.47 TFLOP/episode of stride-1 640-ch stage-4 convs
+    (see BASELINE.md roofline note)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_fewshot_tpu.episode import make_dense_episode_batch
+    from audio_fewshot_tpu.models import build_method, eval_setting
+    from audio_fewshot_tpu.parallel import replicate, shard_batch
+
+    config = {
+        "backbone": {"name": "resnet12Bdc",
+                     "kwargs": {"num_channels": 1, "reduce_dim": 64}},
+        "classifier": {"name": "DeepBDC", "kwargs": None},
+        "modality": "audio",
+        "way_num": 5, "shot_num": 5, "query_num": 10,
+        "test_way": 5, "test_shot": 5, "test_query": 10,
+    }
+    method = build_method(config)
+    setting = eval_setting(config)
+
+    e = 16 * n_chips
+    way, shot, query = 5, 5, 10
+    spec = (1, 128, 157)
+    rng = np.random.default_rng(0)
+    sup = rng.normal(size=(e, way * shot) + spec).astype(np.float32)
+    qry = rng.normal(size=(e, way * query) + spec).astype(np.float32)
+    dev_batch = shard_batch(make_dense_episode_batch(sup, qry, way, shot, query), mesh)
+    variables = method.init_variables(jax.random.PRNGKey(0), dev_batch, setting)
+    variables = jax.device_put(variables, replicate(mesh))
+
+    @jax.jit
+    def step(variables, batch, salt):
+        batch = batch.replace(query=batch.query + salt * 1e-12)
+        seg_logits = method.forward(variables, batch, setting)
+        return jnp.sum(method.eval_episode_accuracy(seg_logits, batch))
+
+    salt0 = jax.device_put(np.float32(1.0), replicate(mesh))
+    compiled = step.lower(variables, dev_batch, salt0).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    float(step(variables, dev_batch, salt0))
+    n_iters = 5
+    t0 = time.perf_counter()
+    s = salt0
+    for _ in range(n_iters):
+        s = step(variables, dev_batch, s)
+    float(s)
+    dt = time.perf_counter() - t0
+    per_chip = n_iters * e / dt / n_chips
+    mfu = flops * n_iters / dt / 1e12 / n_chips / 197.0  # v5e bf16 peak
+    return per_chip, mfu
 
 
 if __name__ == "__main__":
