@@ -41,6 +41,7 @@ class CLAPEmbeddingBackbone(nn.Module):
 @BACKBONES.register("CLAPEmbeddingBackbone")
 def clap_embedding_backbone(**kwargs):
     kwargs.pop("num_channels", None)
+    kwargs.pop("dtype", None)  # embeddings pass through in fp32
     return CLAPEmbeddingBackbone(
         **{k: v for k, v in kwargs.items() if v is not None}
     )
@@ -48,15 +49,36 @@ def clap_embedding_backbone(**kwargs):
 
 @BACKBONES.register("CLAPBackbone")
 def clap_backbone(**kwargs):
-    try:
-        import laion_clap  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "CLAPBackbone needs the external `laion_clap` package (the "
-            "reference has the same soft dependency, clap.py:31-63). Use "
-            "CLAPEmbeddingBackbone with pre-extracted embeddings instead."
-        ) from e
-    raise NotImplementedError(
-        "live CLAP waveform encoding is not wired for TPU; pre-extract "
-        "embeddings and use CLAPEmbeddingBackbone"
+    """The live waveform encoder (reference clap.py:66-336), TPU-native.
+
+    Returns a flax ``CLAPAudioEncoder`` (HTSAT-tiny + CLAP projection —
+    see clap_encoder.py for the full waveform→512-d contract).  Pretrained
+    CLAP weights are NOT bundled (the reference downloads them through
+    ``laion_clap``; this environment has no network), so construction
+    requires an explicit opt-in:
+
+    - ``checkpoint_path``: a converted flat-npz param file (see
+      tools/convert_clap_checkpoint.py) — loaded through the trainer's
+      ``pretrain_path``/part mechanism or tools/extract_clap_embeddings.py;
+    - or ``allow_random_init: true`` for from-scratch training / tests.
+
+    Anything else raises, so nobody silently trains "CLAP" from noise.
+    """
+    from .clap_encoder import CLAPAudioEncoder
+
+    kwargs.pop("num_channels", None)
+    kwargs.pop("dtype", None)  # encoder manages its own precision
+    kwargs.pop("enable_fusion", None)  # reference kwarg; fusion variant not built
+    checkpoint_path = kwargs.pop("checkpoint_path", None)
+    allow_random = bool(kwargs.pop("allow_random_init", False))
+    if not checkpoint_path and not allow_random:
+        raise ValueError(
+            "CLAPBackbone has no bundled pretrained weights: pass "
+            "backbone.kwargs.checkpoint_path (a converted flat-npz from "
+            "tools/convert_clap_checkpoint.py, loaded via pretrain_path) or "
+            "set allow_random_init: true; for pre-extracted embeddings use "
+            "CLAPEmbeddingBackbone (reference clap.py:351-386)."
+        )
+    return CLAPAudioEncoder(
+        **{k: v for k, v in kwargs.items() if v is not None}
     )

@@ -64,7 +64,8 @@ def mel_filterbank(num_mels: int, n_fft: int, sample_rate: int,
     return fb * enorm[None, :].astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("num_mels", "n_fft", "hop", "sample_rate"))
+@partial(jax.jit, static_argnames=("num_mels", "n_fft", "hop", "sample_rate",
+                                   "fmin", "fmax"))
 def log_mel_spectrogram(
     waveform: jnp.ndarray,
     num_mels: int = 128,
@@ -72,6 +73,8 @@ def log_mel_spectrogram(
     hop: int = 700,
     sample_rate: int = 22050,
     eps: float = 1e-10,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
 ) -> jnp.ndarray:
     """[..., T_samples] → [..., num_mels, T_frames] log-mel spectrogram.
 
@@ -88,6 +91,7 @@ def log_mel_spectrogram(
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
     spec = jnp.fft.rfft(frames * window, axis=-1)
     power = jnp.abs(spec) ** 2
-    fb = jnp.asarray(mel_filterbank(num_mels, n_fft, sample_rate))
+    fb = jnp.asarray(mel_filterbank(num_mels, n_fft, sample_rate,
+                                    fmin=fmin, fmax=fmax))
     mel = jnp.einsum("...tf,fm->...mt", power, fb)
     return jnp.log(mel + eps)

@@ -142,6 +142,13 @@ class Trainer:
         self.augment = bool(config.get("augment", False)) and self.method.model_type != ModelType.FINETUNING
         self.aug_mean, self.aug_std = get_mean_std(config, "train")
 
+        # optional wire compression for host→device batches (see
+        # parallel/mesh.resolve_transfer_dtype — the tunneled transfer is
+        # the measured train-loop bottleneck on remote-TPU setups)
+        from .parallel.mesh import resolve_transfer_dtype
+
+        self.transfer_dtype = resolve_transfer_dtype(config.get("transfer_dtype"))
+
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("setting",), donate_argnums=(0, 1)
         )
@@ -208,6 +215,29 @@ class Trainer:
 
     def _maybe_load_pretrain_or_resume(self):
         cfg = self.config
+        bk = cfg.get("backbone") or {}
+        clap_ckpt = (bk.get("kwargs") or {}).get("checkpoint_path") if isinstance(bk, dict) else None
+        if clap_ckpt and str(bk.get("name", "")).startswith("CLAP"):
+            # converted CLAP weights (flat npz — clap_encoder.save_params /
+            # tools/convert_clap_checkpoint.py), loaded into the emb_func
+            # part; structure-checked against the initialized tree
+            from .models.backbones.clap_encoder import load_params
+
+            loaded = load_params(clap_ckpt)
+            tmpl = self.variables["params"]["emb_func"]
+            t_struct = jax.tree_util.tree_structure(tmpl)
+            l_struct = jax.tree_util.tree_structure(loaded)
+            if t_struct != l_struct:
+                raise ValueError(
+                    f"CLAP checkpoint {clap_ckpt} does not match the "
+                    f"encoder's param tree (got {l_struct}, want {t_struct})"
+                )
+            params = dict(self.variables["params"])
+            params["emb_func"] = jax.tree_util.tree_map(
+                lambda t, l: jnp.asarray(l, t.dtype).reshape(t.shape), tmpl, loaded
+            )
+            self.variables = {**self.variables, "params": params}
+            self.logger.info("loaded CLAP encoder weights from %s", clap_ckpt)
         if cfg.get("pretrain_path"):
             self.variables = load_part(
                 cfg["pretrain_path"], self.variables, part="emb_func"
@@ -250,6 +280,9 @@ class Trainer:
 
     def _train_step(self, variables, opt_state, batch, lr_groups, rng,
                     setting: EpisodeSetting):
+        from .parallel.mesh import upcast_floats
+
+        batch = upcast_floats(batch)  # undo transfer_dtype wire compression
         if self.augment:
             rng, aug_rng = jax.random.split(rng)
             batch = self._augment_batch(batch, aug_rng)
@@ -275,6 +308,9 @@ class Trainer:
         return new_vars, opt_state, metrics
 
     def _eval_step(self, variables, batch, setting: EpisodeSetting):
+        from .parallel.mesh import upcast_floats
+
+        batch = upcast_floats(batch)
         seg_logits = self.method.forward(variables, batch, setting)
         return self.method.eval_episode_accuracy(seg_logits, batch)
 
@@ -332,15 +368,9 @@ class Trainer:
             """One-ahead device transfer: `jax.device_put` is async, so the
             next batch's host→device copy overlaps the current step's
             compute instead of serializing in front of it."""
-            it = host_batches()
-            try:
-                nxt = shard_batch(next(it), self.mesh)
-            except StopIteration:
-                return
-            for batch in it:
-                cur, nxt = nxt, shard_batch(batch, self.mesh)
-                yield cur
-            yield nxt
+            from .parallel.mesh import transfer_ahead
+
+            yield from transfer_ahead(host_batches(), self.mesh, self.transfer_dtype)
 
         t_end = time.time()
         step = 0
@@ -391,16 +421,32 @@ class Trainer:
         self.writer.set_step(epoch)
         accs = []
         n_mesh = len(self.mesh.devices.ravel())
-        for batch in loader.epoch(epoch):
-            if batch.support.shape[0] % n_mesh == 0:
-                dev_batch = shard_batch(batch, self.mesh)
+        from .parallel.mesh import transfer_ahead
+
+        def to_device(batches):
+            """One-ahead sharded transfer when the episode axis divides the
+            mesh (it is constant per loader); replicated fallback otherwise
+            (FINETUNING meshes are sized by batch_size)."""
+            it = iter(batches)
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+
+            def chain():
+                yield first
+                yield from it
+
+            if first.support.shape[0] % n_mesh == 0:
+                yield from transfer_ahead(chain(), self.mesh, self.transfer_dtype)
             else:
-                # episode axis doesn't divide the mesh (FINETUNING meshes
-                # are sized by batch_size) — run the eval step replicated
-                dev_batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(np.asarray(x), replicate(self.mesh)),
-                    batch,
-                )
+                for b in chain():
+                    yield jax.tree_util.tree_map(
+                        lambda x: jax.device_put(np.asarray(x), replicate(self.mesh)),
+                        b,
+                    )
+
+        for dev_batch in to_device(loader.epoch(epoch)):
             ep_acc = self._jit_eval_step(self.variables, dev_batch, self.eval_setting)
             accs.extend(np.asarray(jax.device_get(ep_acc)).ravel().tolist())
         mean, ci = mean_confidence_interval(accs)
