@@ -66,6 +66,10 @@ class Test:
         self._jit_eval_step = jax.jit(self._eval_step, static_argnames=("setting",))
         self._jit_tta_step = jax.jit(self._tta_eval_step, static_argnames=("setting",))
 
+        from .parallel.mesh import resolve_transfer_dtype
+
+        self.transfer_dtype = resolve_transfer_dtype(config.get("transfer_dtype"))
+
         self.enhance_via_energy = bool(config.get("enhance_classification_via_energy", False))
         self.num_augmentations = int(config.get("num_augmentations", 10))
         self.tta_segments_per_clip = int(
@@ -91,6 +95,9 @@ class Test:
         return jax.device_put(variables, replicate(self.mesh))
 
     def _eval_step(self, variables, batch, setting: EpisodeSetting):
+        from .parallel.mesh import upcast_floats
+
+        batch = upcast_floats(batch)  # undo transfer_dtype wire compression
         seg_logits = self.method.forward(variables, batch, setting)
         return self.method.eval_episode_accuracy(seg_logits, batch)
 
@@ -109,6 +116,9 @@ class Test:
         clip's alignment; here the segment gather is per-clip and exact.
         All static shapes — flagged count and per-clip segment cap are fixed.
         """
+        from .parallel.mesh import upcast_floats
+
+        batch = upcast_floats(batch)  # undo transfer_dtype wire compression
         from .ops.audio_augmentations import batch_augment_spectrogram
         from .utils.aggregate import clip_vote_counts
 
@@ -211,11 +221,14 @@ class Test:
 
         epoch_means: List[float] = []
         all_accs: List[float] = []
+        from .parallel.mesh import transfer_ahead
+
         for epoch in range(n_epochs):
             t0 = time.time()
             accs: List[float] = []
-            for batch in self.test_loader[0].epoch(epoch):
-                dev_batch = shard_batch(batch, self.mesh)
+            for dev_batch in transfer_ahead(
+                self.test_loader[0].epoch(epoch), self.mesh, self.transfer_dtype
+            ):
                 if energy:
                     rng, step_rng = jax.random.split(rng)
                     ep_acc = self._jit_tta_step(

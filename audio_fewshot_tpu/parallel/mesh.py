@@ -58,14 +58,74 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def resolve_transfer_dtype(name: Optional[str]):
+    """Parse the ``transfer_dtype`` config knob → numpy-compatible dtype
+    (None = keep fp32).  ``bfloat16`` halves the host→device bytes of every
+    float leaf — on tunneled/remote TPUs the transfer link is the train-loop
+    bottleneck (BASELINE.md data_time notes); the jitted steps upcast back
+    to fp32 on device (fused into the first op), so only the wire format
+    changes, not the compute precision."""
+    if not name:
+        return None
+    name = str(name).lower()
+    if name in ("float32", "fp32", "none"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    if name in ("float16", "fp16"):
+        return np.dtype(np.float16)
+    raise ValueError(f"unsupported transfer_dtype {name!r}")
+
+
+def shard_batch(batch: Any, mesh: Mesh, transfer_dtype=None) -> Any:
     """Device-put a host batch pytree with the episode axis sharded.
 
     Every array leaf in an ``EpisodeBatch`` has the episode axis first, so a
     single P('data') spec applies uniformly.  Host→device transfer and
     sharding happen in one step (no gather through a single device).
+    ``transfer_dtype`` (see ``resolve_transfer_dtype``) compresses float
+    leaves for the wire.
     """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(np.asarray(x), sharding), batch
-    )
+
+    def put(x):
+        x = np.asarray(x)
+        if transfer_dtype is not None and x.dtype == np.float32:
+            x = x.astype(transfer_dtype)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def transfer_ahead(batches, mesh: Mesh, transfer_dtype=None):
+    """One-ahead async device transfer: ``jax.device_put`` dispatches
+    asynchronously, so issuing the NEXT batch's host→device copy before
+    consuming the current one overlaps the wire transfer with compute —
+    on tunneled/remote TPUs the transfer dominates eval wall-clock
+    (BASELINE.md).  Yields device-resident batches in order."""
+    it = iter(batches)
+    try:
+        nxt = shard_batch(next(it), mesh, transfer_dtype)
+    except StopIteration:
+        return
+    for b in it:
+        cur, nxt = nxt, shard_batch(b, mesh, transfer_dtype)
+        yield cur
+    yield nxt
+
+
+def upcast_floats(tree: Any) -> Any:
+    """On-device inverse of the ``transfer_dtype`` compression: cast every
+    sub-fp32 float leaf back to fp32 (jitted callers fuse this into their
+    first consumer op)."""
+    import jax.numpy as jnp
+
+    def up(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) \
+                and x.dtype != jnp.float32:
+            return x.astype(jnp.float32)
+        return x
+
+    return jax.tree_util.tree_map(up, tree)
