@@ -239,13 +239,25 @@ class RFSModel(FinetuningBase):
 
 @CLASSIFIERS.register("SKDModel")
 class SKDModel(FinetuningBase):
-    """Self-supervised rotation pretraining (reference skd_model.py):
-    Gen-0 = γ·CE(class, all 4 transformed copies) + α·CE(rotation);
-    Gen-1 (``is_distill`` with a teacher) adds teacher-KL on the class
-    logits and an L2 consistency on the rotation logits
-    (skd_model.py:182-190).  Eval is an L2-normalized linear probe."""
+    """Self-supervised rotation pretraining (reference skd_model.py).
 
-    def __init__(self, emb_func, gamma: float = 2.0, alpha: float = 1.0,
+    Gen-0 (``is_distill=False``, skd_model.py:186-190, 227-239):
+    4 transformed copies; ``loss = γ·CE(class_logits, target×4)
+    + α·BCE_with_logits(rot_classifier(class_logits), one_hot(rot))`` —
+    the rotation head reads the CLASS LOGITS, and its aux loss is the
+    mean sigmoid BCE against the one-hot rotation id.
+
+    Gen-1 (``is_distill`` with a teacher, skd_model.py:181-184, 220-226):
+    only {id, 180°} copies; ``loss = γ·KL(class[:b], teacher(original))
+    + α·L2DistLoss(class[b:], class[:b])/3`` — rotated-vs-original logit
+    consistency (mean Euclidean norm), no CE term.
+
+    Audio delta (documented): 90° rotations don't preserve non-square
+    [F, T] spectrograms, so the 4-transform set is {id, time-flip,
+    freq-flip, both}; the Gen-1 "180°" copy is the both-flip.
+    Eval is an L2-normalized linear probe."""
+
+    def __init__(self, emb_func, gamma: float = 1.0, alpha: float = 1.0,
                  is_distill: bool = False, kd_T: float = 4.0, **kwargs):
         super().__init__(emb_func, **kwargs)
         self.gamma = gamma
@@ -259,50 +271,58 @@ class SKDModel(FinetuningBase):
         super()._init_head(variables, rngs, feats, example_batch, setting)
         if feats.ndim > 2:
             feats = feats.reshape(feats.shape[0], -1)
-        sub = self.modules["rot_classifier"].init(rngs["params"], feats[:1])
+        # rot head input = class logits (reference skd_model.py:187)
+        logits = self._global_logits(variables, feats)
+        sub = self.modules["rot_classifier"].init(rngs["params"], logits[:1])
         self._merge_init(variables, "rot_classifier", sub)
 
     def loss(self, variables, batch, setting, rng):
         assert isinstance(batch, FlatBatch)
         x = batch.data
         b = x.shape[0]
-        # The reference rotates square 84×84 images 4 ways (skd_model.py);
-        # 90° rotations don't preserve non-square [F, T] spectrograms, so the
-        # audio-native 4-way transform set is {id, time-flip, freq-flip,
-        # both} — same self-supervision structure, shape-preserving.
-        rots = jnp.concatenate(
-            [x, x[..., ::-1], x[..., ::-1, :], x[..., ::-1, ::-1]], axis=0
-        )
-        feats, updates = self.apply_module(
-            variables, "emb_func", rots, train=True, rng=rng
-        )
-        if feats.ndim > 2:
-            feats = feats.reshape(feats.shape[0], -1)
-        # classification CE over ALL four transformed copies (reference
-        # generated_target = target.repeat(4))
-        class_logits = self._global_logits(variables, feats)
-        y4 = jnp.tile(batch.target, 4)
-        ce = cross_entropy(class_logits, y4)
-        rot_logits = self.modules["rot_classifier"].apply(
-            {"params": variables["params"]["rot_classifier"]}, feats
-        )
-        rot_targets = jnp.repeat(jnp.arange(4), b)
-        rot_loss = cross_entropy(rot_logits, rot_targets)
-        loss = self.gamma * ce + self.alpha * rot_loss
-
         if self.is_distill and self.teacher_variables is not None:
+            # Gen-1: {id, both-flip} only (reference :220-226)
+            copies = jnp.concatenate([x, x[..., ::-1, ::-1]], axis=0)
+            feats, updates = self.apply_module(
+                variables, "emb_func", copies, train=True, rng=rng
+            )
+            if feats.ndim > 2:
+                feats = feats.reshape(feats.shape[0], -1)
+            class_logits = self._global_logits(variables, feats)
             t_feats, _ = self.apply_module(
-                self.teacher_variables, "emb_func", rots, train=False
+                self.teacher_variables, "emb_func", x, train=False
             )
             if t_feats.ndim > 2:
                 t_feats = t_feats.reshape(t_feats.shape[0], -1)
             t_class = self._global_logits(self.teacher_variables, t_feats)
-            t_rot = self.modules["rot_classifier"].apply(
-                {"params": self.teacher_variables["params"]["rot_classifier"]},
-                t_feats,
+            gamma_loss = distill_kl_loss(class_logits[:b], t_class, self.kd_T)
+            from ..losses import l2_dist_loss
+
+            alpha_loss = l2_dist_loss(class_logits[b:], class_logits[:b]) / 3.0
+        else:
+            # Gen-0: 4-transform self-supervision (reference :227-239)
+            copies = jnp.concatenate(
+                [x, x[..., ::-1], x[..., ::-1, :], x[..., ::-1, ::-1]], axis=0
             )
-            loss = loss + distill_kl_loss(class_logits, t_class, self.kd_T)
-            loss = loss + jnp.mean((rot_logits - t_rot) ** 2)
+            feats, updates = self.apply_module(
+                variables, "emb_func", copies, train=True, rng=rng
+            )
+            if feats.ndim > 2:
+                feats = feats.reshape(feats.shape[0], -1)
+            class_logits = self._global_logits(variables, feats)
+            y4 = jnp.tile(batch.target, 4)
+            gamma_loss = cross_entropy(class_logits, y4)
+            rot_logits = self.modules["rot_classifier"].apply(
+                {"params": variables["params"]["rot_classifier"]}, class_logits
+            )
+            rot_onehot = jax.nn.one_hot(jnp.repeat(jnp.arange(4), b), 4)
+            # torch.sum(F.binary_cross_entropy_with_logits(...)) — the inner
+            # call already reduces to a scalar mean (reference :188-190)
+            alpha_loss = jnp.mean(
+                jnp.maximum(rot_logits, 0) - rot_logits * rot_onehot
+                + jnp.log1p(jnp.exp(-jnp.abs(rot_logits)))
+            )
+        loss = self.gamma * gamma_loss + self.alpha * alpha_loss
 
         acc = jnp.mean(
             (jnp.argmax(class_logits[:b], -1) == batch.target).astype(jnp.float32)

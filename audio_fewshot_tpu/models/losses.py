@@ -12,9 +12,12 @@ def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2_dist_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Mean squared distance; NaN-safe like the reference (loss.py:7-16
-    returns 0.0 on NaN)."""
-    loss = jnp.mean((pred - target) ** 2)
+    """Mean (over the batch) Euclidean NORM of the per-sample difference —
+    ``mean(sqrt(sum_dim1 (a-b)²))``, the reference's exact form (loss.py:7-16,
+    verified by tests/test_loss_parity.py); NaN-safe like the reference
+    (returns 0.0 on NaN)."""
+    d = pred - target
+    loss = jnp.mean(jnp.sqrt(jnp.sum(d * d, axis=1)))
     return jnp.where(jnp.isnan(loss), 0.0, loss)
 
 

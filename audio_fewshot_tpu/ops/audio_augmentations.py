@@ -147,7 +147,13 @@ def adaptive_noise_profile_matching(rng, spec, target_noise_level=0.1,
                                     smoothing_window: int = 5):
     """Rescale noise-floor regions toward a target level (reference
     :389-465): per-frame min over frequency, box-smoothed in time, scale
-    clamped to [0.5, 2], applied through a soft signal mask."""
+    clamped to [0.5, 2], applied through a soft signal mask.
+
+    The reference's smoothing branch is broken as snapshotted (reflect-pads
+    a [1,1,1,W] tensor with a 2-element pad — torch NotImplementedError,
+    audio_augmentations.py:432-433); this is the intended same-size
+    smoothing, verified against the oracle at smoothing_window=1
+    (tests/test_augmentation_parity.py)."""
     a = jnp.abs(spec)
     noise = jnp.min(a, axis=-2, keepdims=True)  # [..., 1, W]
     if smoothing_window > 1 and spec.shape[-1] > smoothing_window:

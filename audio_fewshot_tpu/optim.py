@@ -133,6 +133,17 @@ class LRScheduler:
         self.epochs = epochs
         self.warmup = int(warmup or 0)
         self.base_lr = float(base_lr) or 1.0
+        if self.warmup:
+            # reference GradualWarmupScheduler.get_after_scheduler
+            # (utils/utils.py:350-360) shrinks the after-scheduler horizon
+            # by warmup-1 epochs (the after-scheduler takes over AT epoch
+            # warmup-1, see scale())
+            if name == "CosineAnnealingLR" and "T_max" in self.kwargs:
+                self.kwargs["T_max"] = int(self.kwargs["T_max"]) - (self.warmup - 1)
+            elif name == "MultiStepLR" and self.kwargs.get("milestones"):
+                self.kwargs["milestones"] = [
+                    int(m) - self.warmup + 1 for m in self.kwargs["milestones"]
+                ]
         self._plateau_scale = 1.0
         self._best: Optional[float] = None
         self._bad = 0
@@ -151,8 +162,11 @@ class LRScheduler:
         if name == "CosineAnnealingLR":
             t_max = int(k.get("T_max", self.epochs or 1))
             eta_min = float(k.get("eta_min", 0.0))
-            # relative form: eta_min treated as absolute only w.r.t. base lr=1
-            cos = 0.5 * (1 + math.cos(math.pi * min(epoch, t_max) / max(t_max, 1)))
+            # relative form: eta_min treated as absolute only w.r.t. base
+            # lr=1.  NO clamp at T_max — torch's closed form is periodic
+            # (the LR climbs back up past T_max), and reference runs do
+            # exceed T_max epochs
+            cos = 0.5 * (1 + math.cos(math.pi * epoch / max(t_max, 1)))
             return eta_min + (1.0 - eta_min) * cos
         if name == "ConstantLR" or name is None:
             return 1.0
@@ -171,12 +185,14 @@ class LRScheduler:
         raise ValueError(f"unknown lr_scheduler {name!r}")
 
     def scale(self, epoch: int) -> float:
-        base = self._base_scale(max(0, epoch - self.warmup)) * self._plateau_scale
-        if self.warmup and epoch < self.warmup:
-            # GradualWarmupScheduler: linear 1/warmup → 1 ramp (reference
-            # utils/utils.py:330-426, multiplier=1)
-            return base * float(epoch + 1) / float(self.warmup)
-        return base
+        # GradualWarmupScheduler semantics (reference utils/utils.py:373-381):
+        # epochs 0..warmup-2 ramp linearly at (e+1)/warmup; the
+        # after-scheduler takes over AT epoch warmup-1 (index 0), with its
+        # horizon pre-shrunk by warmup-1 in __init__
+        if self.warmup and epoch < self.warmup - 1:
+            return float(epoch + 1) / float(self.warmup) * self._plateau_scale
+        shift = self.warmup - 1 if self.warmup else 0
+        return self._base_scale(max(0, epoch - shift)) * self._plateau_scale
 
     def step(self, metric: Optional[float] = None) -> None:
         if self.name != "ReduceLROnPlateau" or metric is None:
