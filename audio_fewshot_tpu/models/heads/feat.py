@@ -50,7 +50,8 @@ class SetAttention(nn.Module):
         out = jnp.einsum("...nm,...md->...nd", attn, v)
         out = nn.Dense(d, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        return nn.LayerNorm(name="ln")(out + x)
+        # torch nn.LayerNorm eps (1e-5; flax defaults to 1e-6)
+        return nn.LayerNorm(name="ln", epsilon=1e-5)(out + x)
 
 
 def metric_logits(query, proto, mode, temperature):
