@@ -36,7 +36,7 @@ class CPEALayer(nn.Module):
 
         fq = mlp1(jnp.mean(feat_query, axis=1, keepdims=True)) + feat_query
         fs = mlp1(jnp.mean(feat_shot, axis=1, keepdims=True)) + feat_shot
-        ln = nn.LayerNorm(name="fc_norm1")
+        ln = nn.LayerNorm(name="fc_norm1", epsilon=1e-5)  # torch LN eps
         fq, fs = ln(fq), ln(fs)
 
         q_img = fq[:, 1:, :] + 2.0 * fq[:, :1, :]  # [G, L, C]
