@@ -103,3 +103,43 @@ def test_deepbdc_proto_parity(rng, shot):
     np.testing.assert_allclose(
         _np(ref_out), np.asarray(mine), rtol=1e-4, atol=1e-3
     )
+
+
+# ------------------------------------------------------------- Conv2dMtl
+
+
+def test_mtl_conv_parity(rng):
+    """MtlConv vs reference Conv2dMtl with MTL=True — frozen base kernel ×
+    mtl scale + bias shift (backbone/utils/mtl_module.py:104-140)."""
+    ref_mod = load_ref("libfewshot_core.model.backbone.utils.mtl_module")
+    from audio_fewshot_tpu.models.backbones.resnet import MtlConv
+
+    cin, cout, n, h = 4, 8, 3, 7
+    x = rng.normal(size=(n, cin, h, h)).astype(np.float32)
+
+    conv = ref_mod.Conv2dMtl(cin, cout, 3, stride=1, padding=1, bias=True,
+                             MTL=True)
+    with torch.no_grad():
+        conv.mtl_weight.copy_(
+            _t(rng.normal(size=(cout, cin, 1, 1)).astype(np.float32))
+        )
+        conv.mtl_bias.copy_(_t(rng.normal(size=(cout,)).astype(np.float32)))
+        ref_out = conv(_t(x))
+
+    mine_mod = MtlConv(features=cout, kernel_size=(3, 3), strides=(1, 1),
+                       padding=[(1, 1), (1, 1)])
+    variables = {
+        "params": {
+            "kernel": jnp.asarray(_np(conv.weight).transpose(2, 3, 1, 0)),
+            "mtl_scale": jnp.asarray(
+                _np(conv.mtl_weight).transpose(2, 3, 1, 0)
+            ),
+            # ours folds the frozen base bias + trainable mtl_bias into ONE
+            # shift (equivalent: frozen-at-init offset + zero-init delta)
+            "mtl_bias": jnp.asarray(_np(conv.bias) + _np(conv.mtl_bias)),
+        }
+    }
+    mine = mine_mod.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        _np(ref_out), np.asarray(mine).transpose(0, 3, 1, 2), atol=1e-4
+    )
