@@ -119,6 +119,36 @@ class SpectrogramDataset:
     def normalize(self, x: np.ndarray) -> np.ndarray:
         return (x - self.mean) / self.std
 
+    def segment_bank(self) -> Tuple[np.ndarray, List[List[int]]]:
+        """Flatten every segment of the split into one NORMALIZED array
+        ``bank [N, C, F, T]`` plus ``starts[class_idx][clip_idx]`` = first
+        bank row of that clip (its ``n_seg`` segments are contiguous).
+
+        This is the host side of the device-resident eval corpus
+        (episode.IndexedEpisodeBatch): ship the bank once, then episodes are
+        int32 row gathers in HBM instead of per-step wire transfers.
+        Cached — the normalized copy is built once per split.
+        """
+        if getattr(self, "_bank", None) is None:
+            starts: List[List[int]] = []
+            pos = 0
+            for cl in self.clips:
+                row = []
+                for clip in cl:
+                    row.append(pos)
+                    pos += clip.shape[0]
+                starts.append(row)
+            bank = np.concatenate(
+                [clip for cl in self.clips for clip in cl], axis=0
+            ).astype(np.float32)
+            self._bank = (self.normalize(bank), starts)
+        return self._bank
+
+    def bank_nbytes(self, bytes_per_elem: int = 4) -> int:
+        """Size of the segment bank without building it."""
+        n = sum(clip.shape[0] for cl in self.clips for clip in cl)
+        return n * int(np.prod(self.segment_shape)) * bytes_per_elem
+
     # -- constructors -------------------------------------------------------
 
     @classmethod

@@ -151,6 +151,10 @@ class EpisodicLoader:
     ):
         self.dataset = dataset
         self.way, self.query = way, query
+        #: eval-only: emit ``IndexedEpisodeBatch``es of bank row ids instead
+        #: of segment payloads (see ``use_segment_bank``)
+        self.emit_indices = False
+        self._bank_starts: Optional[List[List[int]]] = None
         #: effective shot — each sampled support clip contributes
         #: ``augment_times`` copies (reference ``shot_num × augment_times``
         #: inflation, trainer.py:444-447; copies are differentiated by the
@@ -173,6 +177,14 @@ class EpisodicLoader:
 
     def __len__(self) -> int:
         return self.sampler.episodes_per_epoch // self.episode_size
+
+    def use_segment_bank(self) -> None:
+        """Switch eval batches to bank-index form (device-resident corpus).
+        The caller ships ``dataset.segment_bank()[0]`` to the device once and
+        materializes episodes with ``episode.materialize_episode_batch``."""
+        assert self.mode != "train", "segment bank is an eval-path feature"
+        self._bank_starts = self.dataset.segment_bank()[1]
+        self.emit_indices = True
 
     # -- batch assembly -----------------------------------------------------
 
@@ -221,6 +233,8 @@ class EpisodicLoader:
             )
 
         # eval: ragged query segments → packed + masked
+        if self.emit_indices:
+            return self._build_index_batch(plans)
         seg_list: List[np.ndarray] = []
         repeats = np.empty((e, wq), dtype=np.int64)
         for i, plan in enumerate(plans):
@@ -253,6 +267,46 @@ class EpisodicLoader:
         )
         return batch.replace(
             global_target=np.concatenate([global_sup, global_qry], axis=1)
+        )
+
+    def _build_index_batch(self, plans: List[EpisodeIndices]):
+        """Index twin of the eval branch: identical episode content, but the
+        payload is bank row ids (episode.IndexedEpisodeBatch)."""
+        from ..episode import pack_ragged_episode_indices
+
+        ds = self.dataset
+        starts = self._bank_starts
+        e = len(plans)
+        ws = self.way * self.shot
+        wq = self.way * self.query
+        support_idx = np.empty((e, ws), dtype=np.int32)
+        global_sup = np.empty((e, ws), dtype=np.int32)
+        global_qry = np.empty((e, wq), dtype=np.int32)
+        seg_ids: List[int] = []
+        repeats = np.empty((e, wq), dtype=np.int64)
+        for i, plan in enumerate(plans):
+            s = q = 0
+            for w, cls in enumerate(plan.classes):
+                for k in plan.support[w]:
+                    for _ in range(self.augment_times):
+                        support_idx[i, s] = starts[cls][k]  # segment 0
+                        global_sup[i, s] = cls + ds.class_offset
+                        s += 1
+                for k in plan.query[w]:
+                    n = ds.clips[cls][k].shape[0]
+                    seg_ids.extend(range(starts[cls][k], starts[cls][k] + n))
+                    repeats[i, q] = n
+                    global_qry[i, q] = cls + ds.class_offset
+                    q += 1
+        return pack_ragged_episode_indices(
+            support_idx,
+            np.asarray(seg_ids, dtype=np.int32),
+            repeats.reshape(-1),
+            self.way,
+            self.shot,
+            self.query,
+            bucket_sizes=self.segment_bucket_sizes,
+            global_target=np.concatenate([global_sup, global_qry], axis=1),
         )
 
     # -- iteration ----------------------------------------------------------

@@ -193,3 +193,105 @@ def segment_targets(batch: EpisodeBatch) -> jnp.ndarray:
     clip-id vector; reference expands with ``repeat_interleave``,
     e.g. proto_net.py:117)."""
     return jnp.take_along_axis(batch.query_target, batch.query_clip, axis=1)
+
+
+# -- device-resident segment bank (indexed episodes) -------------------------
+
+
+@struct.dataclass
+class IndexedEpisodeBatch:
+    """An ``EpisodeBatch`` whose spectrogram payload lives in a device-
+    resident segment bank: ``support_idx``/``query_idx`` are int32 rows into
+    ``bank [N, C, F, T]``; everything else matches ``EpisodeBatch``.
+
+    TPU rationale: the eval split is small (hundreds of MB) while each
+    episode re-transfers ~1.5 MB/segment through the (tunneled) host→device
+    link — the measured CLI eval bottleneck (BASELINE.md: 2.6 eps/s wire vs
+    310 eps/s device-resident).  Shipping the corpus once and gathering rows
+    in HBM turns the per-step wire payload into a few KB of indices.
+    """
+
+    support_idx: jnp.ndarray  # [E, W*S] int32
+    query_idx: jnp.ndarray  # [E, G] int32 (padding → 0, masked out)
+    query_clip: jnp.ndarray  # [E, G]
+    query_mask: jnp.ndarray  # [E, G]
+    support_target: jnp.ndarray  # [E, W*S]
+    query_target: jnp.ndarray  # [E, W*Q]
+    global_target: Optional[jnp.ndarray] = None
+
+
+def materialize_episode_batch(batch, bank: jnp.ndarray) -> EpisodeBatch:
+    """Gather an ``IndexedEpisodeBatch``'s payload out of the bank (inside
+    jit: an HBM row gather, fused with the consumer).  The bank may be kept
+    in the wire dtype (bf16) — gather first, upcast after, so the gather
+    moves half the bytes."""
+    if isinstance(batch, EpisodeBatch):
+        return batch
+    support = jnp.take(bank, batch.support_idx, axis=0)
+    query = jnp.take(bank, batch.query_idx, axis=0)
+    if support.dtype != jnp.float32:
+        support = support.astype(jnp.float32)
+        query = query.astype(jnp.float32)
+    # padded rows gather bank row 0 — zero them so the result is
+    # byte-identical to the zero-padded payload path (batch-stat-only heads
+    # see padding through BN batch statistics)
+    mask = batch.query_mask.astype(query.dtype)
+    query = query * mask.reshape(mask.shape + (1,) * (query.ndim - 2))
+    return EpisodeBatch(
+        support=support,
+        query=query,
+        query_clip=batch.query_clip,
+        query_mask=batch.query_mask,
+        support_target=batch.support_target,
+        query_target=batch.query_target,
+        global_target=batch.global_target,
+    )
+
+
+def pack_ragged_episode_indices(
+    support_idx: np.ndarray,
+    query_seg_ids: np.ndarray,
+    repeats: np.ndarray,
+    way: int,
+    shot: int,
+    query_num: int,
+    bucket_sizes: Optional[Tuple[int, ...]] = None,
+    global_target: Optional[np.ndarray] = None,
+) -> IndexedEpisodeBatch:
+    """Index twin of ``pack_ragged_episode_batch``: same packing/bucketing,
+    but the payload is bank row ids instead of segment arrays."""
+    e = support_idx.shape[0]
+    wq = way * query_num
+    repeats = np.asarray(repeats, dtype=np.int64).reshape(e, wq)
+    max_seg = int(repeats.sum(axis=1).max())
+    g = _pick_bucket(max_seg, bucket_sizes)
+
+    query_idx = np.zeros((e, g), dtype=np.int32)
+    clip_id = np.zeros((e, g), dtype=np.int32)
+    mask = np.zeros((e, g), dtype=np.float32)
+
+    src = 0
+    for i in range(e):
+        dst = 0
+        for c in range(wq):
+            n = int(repeats[i, c])
+            query_idx[i, dst : dst + n] = query_seg_ids[src : src + n]
+            clip_id[i, dst : dst + n] = c
+            mask[i, dst : dst + n] = 1.0
+            dst += n
+            src += n
+    assert src == query_seg_ids.shape[0], (src, query_seg_ids.shape)
+
+    return IndexedEpisodeBatch(
+        support_idx=np.asarray(support_idx, dtype=np.int32),
+        query_idx=query_idx,
+        query_clip=clip_id,
+        query_mask=mask,
+        support_target=np.broadcast_to(
+            local_targets(way, shot), (e, way * shot)
+        ),
+        query_target=np.broadcast_to(
+            local_targets(way, query_num), (e, wq)
+        ),
+        global_target=None if global_target is None else np.asarray(global_target),
+    )

@@ -69,6 +69,7 @@ class Test:
         from .parallel.mesh import resolve_transfer_dtype
 
         self.transfer_dtype = resolve_transfer_dtype(config.get("transfer_dtype"))
+        self.val_bank, self.test_bank = self._setup_segment_banks()
 
         self.enhance_via_energy = bool(config.get("enhance_classification_via_energy", False))
         self.num_augmentations = int(config.get("num_augmentations", 10))
@@ -94,14 +95,53 @@ class Test:
             self.logger.warning("no checkpoint found — evaluating at init")
         return jax.device_put(variables, replicate(self.mesh))
 
-    def _eval_step(self, variables, batch, setting: EpisodeSetting):
+    def _setup_segment_banks(self):
+        """Device-resident eval corpus (episode.IndexedEpisodeBatch): ship
+        every segment of the val/test splits to HBM ONCE (in the wire
+        dtype), then per-step transfers are int32 indices.  On tunneled
+        TPUs the per-step segment payload is the measured eval bottleneck
+        (BASELINE.md).  ``device_eval_bank``: true / false / "auto"
+        (default — on when both banks fit ``device_eval_bank_max_gb``)."""
+        knob = self.config.get("device_eval_bank", "auto")
+        if not knob:
+            return None, None
+        loaders = [self.val_loader[0], self.test_loader[0]]
+        if any(not hasattr(ld, "use_segment_bank") for ld in loaders):
+            return None, None  # flat loaders (no episodic eval path)
+        cap = float(self.config.get("device_eval_bank_max_gb", 4.0)) * 2 ** 30
+        per_elem = 2 if self.transfer_dtype is not None else 4
+        total = sum(ld.dataset.bank_nbytes(per_elem) for ld in loaders)
+        if str(knob).lower() == "auto" and total > cap:
+            self.logger.info(
+                "segment bank disabled: %.2f GiB exceeds device_eval_bank_max_gb",
+                total / 2 ** 30,
+            )
+            return None, None
+        banks = []
+        for ld in loaders:
+            host, _ = ld.dataset.segment_bank()
+            if self.transfer_dtype is not None:
+                host = host.astype(self.transfer_dtype)
+            banks.append(jax.device_put(host, replicate(self.mesh)))
+            ld.use_segment_bank()
+        self.logger.info(
+            "device-resident segment banks: %.1f MiB shipped once "
+            "(val %d + test %d segments)",
+            total / 2 ** 20, banks[0].shape[0], banks[1].shape[0],
+        )
+        return banks[0], banks[1]
+
+    def _eval_step(self, variables, batch, bank, setting: EpisodeSetting):
+        from .episode import materialize_episode_batch
         from .parallel.mesh import upcast_floats
 
+        if bank is not None:
+            batch = materialize_episode_batch(batch, bank)
         batch = upcast_floats(batch)  # undo transfer_dtype wire compression
         seg_logits = self.method.forward(variables, batch, setting)
         return self.method.eval_episode_accuracy(seg_logits, batch)
 
-    def _tta_eval_step(self, variables, batch, rng, setting: EpisodeSetting):
+    def _tta_eval_step(self, variables, batch, bank, rng, setting: EpisodeSetting):
         """Energy-OOD + TTA re-classification (reference test.py:331-500):
         flag the top-20 % most-uncertain query clips, REPLACE each flagged
         clip's segments with ``num_augmentations`` noise-suppressed copies of
@@ -116,8 +156,11 @@ class Test:
         clip's alignment; here the segment gather is per-clip and exact.
         All static shapes — flagged count and per-clip segment cap are fixed.
         """
+        from .episode import materialize_episode_batch
         from .parallel.mesh import upcast_floats
 
+        if bank is not None:
+            batch = materialize_episode_batch(batch, bank)
         batch = upcast_floats(batch)  # undo transfer_dtype wire compression
         from .ops.audio_augmentations import batch_augment_spectrogram
         from .utils.aggregate import clip_vote_counts
@@ -194,7 +237,7 @@ class Test:
             )
             th = self.method.calibrate_threshold(
                 self.variables, self.val_loader[0], self.setting, self.mesh,
-                dump_path=dump,
+                dump_path=dump, bank=self.val_bank,
             )
             self.logger.info("uncertainty threshold: %s", th)
         if energy:
@@ -232,10 +275,13 @@ class Test:
                 if energy:
                     rng, step_rng = jax.random.split(rng)
                     ep_acc = self._jit_tta_step(
-                        self.variables, dev_batch, step_rng, self.setting
+                        self.variables, dev_batch, self.test_bank, step_rng,
+                        self.setting,
                     )
                 else:
-                    ep_acc = self._jit_eval_step(self.variables, dev_batch, self.setting)
+                    ep_acc = self._jit_eval_step(
+                        self.variables, dev_batch, self.test_bank, self.setting
+                    )
                 accs.extend(np.asarray(jax.device_get(ep_acc)).ravel().tolist())
             mean, ci = mean_confidence_interval(accs)
             n_eps = len(accs)

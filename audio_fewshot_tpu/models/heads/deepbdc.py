@@ -102,23 +102,30 @@ class DeepBDC(MethodBase):
 
     def calibrate_threshold(self, variables, loader, setting: EpisodeSetting,
                             mesh, policy: str = "mean",
-                            dump_path: Optional[str] = None) -> Optional[float]:
+                            dump_path: Optional[str] = None,
+                            bank=None) -> Optional[float]:
         """Validation calibration pass (reference test.py:188 →
         deepbdc.py:381-442).  'mean' policy: threshold = mean over batches of
         the 95 % quantile of correct-prediction uncertainties.
         ``dump_path``: write the reference's ``uncertainty_data.npz`` side
         artifact (deepbdc.py:421)."""
+        from ...episode import materialize_episode_batch
         from ...parallel import shard_batch
 
         @jax.jit
-        def step(variables, batch):
+        def step(variables, batch, bank):
+            if bank is not None:
+                batch = materialize_episode_batch(batch, bank)
+            from ...parallel.mesh import upcast_floats
+
+            batch = upcast_floats(batch)
             seg_logits = self.forward(variables, batch, setting)
             return self.clip_uncertainty(seg_logits, batch)
 
         thresholds, means, stds = [], [], []
         all_u, all_ok = [], []
         for batch in loader.epoch(0):
-            u, ok = jax.device_get(step(variables, shard_batch(batch, mesh)))
+            u, ok = jax.device_get(step(variables, shard_batch(batch, mesh), bank))
             u = np.asarray(u).ravel()
             ok = np.asarray(ok).ravel()
             all_u.append(u)

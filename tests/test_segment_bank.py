@@ -1,0 +1,106 @@
+"""Device-resident segment bank (episode.IndexedEpisodeBatch): the indexed
+eval path must reproduce the payload eval path exactly."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audio_fewshot_tpu.data.dataset import SpectrogramDataset
+from audio_fewshot_tpu.data.loader import EpisodicLoader
+from audio_fewshot_tpu.episode import (
+    EpisodeBatch,
+    IndexedEpisodeBatch,
+    materialize_episode_batch,
+)
+
+
+def _dataset():
+    return SpectrogramDataset.synthetic(
+        num_classes=8, clips_per_class=12, segment_shape=(1, 8, 10),
+        max_segments=4, seed=3,
+    )
+
+
+def _loader(ds, **kw):
+    return EpisodicLoader(
+        ds, way=4, shot=2, query=3, episodes_per_epoch=6, episode_size=2,
+        mode="test", seed=11, segment_bucket_sizes=(32, 64), prefetch=0, **kw
+    )
+
+
+def test_indexed_batches_materialize_identically():
+    ds = _dataset()
+    plain = list(_loader(ds).epoch(0))
+    indexed_loader = _loader(ds)
+    indexed_loader.use_segment_bank()
+    indexed = list(indexed_loader.epoch(0))
+    bank = jnp.asarray(ds.segment_bank()[0])
+
+    assert len(plain) == len(indexed) > 0
+    for pb, ib in zip(plain, indexed):
+        assert isinstance(pb, EpisodeBatch)
+        assert isinstance(ib, IndexedEpisodeBatch)
+        mb = materialize_episode_batch(ib, bank)
+        np.testing.assert_array_equal(np.asarray(mb.support), pb.support)
+        np.testing.assert_array_equal(np.asarray(mb.query), pb.query)
+        np.testing.assert_array_equal(np.asarray(mb.query_clip), pb.query_clip)
+        np.testing.assert_array_equal(np.asarray(mb.query_mask), pb.query_mask)
+        np.testing.assert_array_equal(
+            np.asarray(mb.support_target), pb.support_target
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mb.query_target), pb.query_target
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mb.global_target), pb.global_target
+        )
+
+
+def test_bank_wire_dtype_upcasts_on_materialize():
+    import ml_dtypes
+
+    ds = _dataset()
+    host, starts = ds.segment_bank()
+    bank = jnp.asarray(host.astype(ml_dtypes.bfloat16))
+    loader = _loader(ds)
+    loader.use_segment_bank()
+    ib = next(iter(loader.epoch(0)))
+    mb = materialize_episode_batch(ib, bank)
+    assert mb.support.dtype == jnp.float32
+    assert mb.query.dtype == jnp.float32
+    # values agree at bf16 precision
+    np.testing.assert_allclose(
+        np.asarray(mb.support),
+        np.asarray(jnp.take(jnp.asarray(host), ib.support_idx, axis=0)),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_end_to_end_eval_with_bank_matches_without(tmp_path):
+    """Full Test harness: accuracy with the device bank == without."""
+    from audio_fewshot_tpu.eval import Test
+
+    cfg = {
+        "data_root": "synthetic:8:10",
+        "way_num": 4, "shot_num": 1, "query_num": 2,
+        "test_way": 4, "test_shot": 1, "test_query": 2,
+        "episode_size": 2, "test_episode": 6, "test_epoch": 1,
+        "max_segments_per_clip": 3, "segment_bucket_sizes": [16, 32],
+        "spec_shape": [1, 32, 40],
+        "seed": 5, "prefetch": 0,
+        "backbone": {"name": "Conv64F", "kwargs": {"num_channels": 1, "last_pool": False, "maxpool_last2": False}},
+        "classifier": {"name": "ProtoNet", "kwargs": {}},
+        "epoch": 1, "result_root": str(tmp_path),
+    }
+    accs = {}
+    for knob in (False, True):
+        c = dict(cfg)
+        c["device_eval_bank"] = knob
+        t = Test(0, c, result_path=None)
+        if knob:
+            assert t.test_bank is not None, "bank should be enabled"
+        else:
+            assert t.test_bank is None
+        accs[knob] = t.test_loop()
+    assert accs[True][0] == accs[False][0], accs

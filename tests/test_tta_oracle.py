@@ -64,7 +64,7 @@ def test_tta_step_matches_reference_enlarged_batch_oracle():
     )
     step_rng = jax.random.PRNGKey(11)
     step_acc = np.asarray(
-        Test._tta_eval_step(stub, variables, batch, step_rng, setting)
+        Test._tta_eval_step(stub, variables, batch, None, step_rng, setting)
     )
 
     # ---- oracle: reference enlarged-batch protocol -------------------------
@@ -141,8 +141,8 @@ def test_tta_flagged_votes_replace_not_add():
     )
     # two different augmentation draws → flagged clips may flip, unflagged
     # clips (which keep their original votes) must contribute identically.
-    a1 = np.asarray(Test._tta_eval_step(stub, variables, batch, jax.random.PRNGKey(1), setting))
-    a2 = np.asarray(Test._tta_eval_step(stub, variables, batch, jax.random.PRNGKey(2), setting))
+    a1 = np.asarray(Test._tta_eval_step(stub, variables, batch, None, jax.random.PRNGKey(1), setting))
+    a2 = np.asarray(Test._tta_eval_step(stub, variables, batch, None, jax.random.PRNGKey(2), setting))
     # per-episode accuracy can differ by at most the flagged-clip fraction
     per_ep_flagged = np.bincount(top_idx // wq, minlength=batch.num_episodes)
     max_delta = per_ep_flagged / wq * 100.0
