@@ -42,10 +42,11 @@ DEFAULTS: Dict[str, Any] = {
     "mean_std_file": None,
     "class_per_split": None,
     "ood": False,
-    # device-resident eval corpus (episode.IndexedEpisodeBatch):
-    # true / false / "auto" = on when the split banks fit the GB cap
-    "device_eval_bank": "auto",
-    "device_eval_bank_max_gb": 4.0,
+    # device-resident segment banks (data/bank.py, episode.Indexed*Batch):
+    # true / false / "auto" = on when the split banks fit the GB cap.
+    # device_eval_bank is the accepted alias (the knob's original name).
+    "device_data_bank": "auto",
+    "device_data_bank_max_gb": 4.0,
     # device
     "device_ids": 0,
     "n_gpu": 1,  # kept for config parity; maps to number of devices used

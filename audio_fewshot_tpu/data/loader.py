@@ -179,10 +179,11 @@ class EpisodicLoader:
         return self.sampler.episodes_per_epoch // self.episode_size
 
     def use_segment_bank(self) -> None:
-        """Switch eval batches to bank-index form (device-resident corpus).
+        """Switch batches to bank-index form (device-resident corpus).
         The caller ships ``dataset.segment_bank()[0]`` to the device once and
-        materializes episodes with ``episode.materialize_episode_batch``."""
-        assert self.mode != "train", "segment bank is an eval-path feature"
+        materializes episodes with ``episode.materialize_episode_batch``.
+        Train batches keep the same rng draw order as the payload path, so
+        the emitted episodes are bit-identical after materialization."""
         self._bank_starts = self.dataset.segment_bank()[1]
         self.emit_indices = True
 
@@ -192,6 +193,13 @@ class EpisodicLoader:
         if self.mode == "train" and clip.shape[0] > 1:
             return clip[rng.integers(clip.shape[0])]
         return clip[0]
+
+    def _pick_segment_offset(self, clip: np.ndarray, rng: np.random.Generator) -> int:
+        """Index twin of ``_pick_segment`` — MUST keep the same rng draw
+        order so indexed and payload batches are bit-identical."""
+        if self.mode == "train" and clip.shape[0] > 1:
+            return int(rng.integers(clip.shape[0]))
+        return 0
 
     def _build_batch(
         self, plans: List[EpisodeIndices], rng: np.random.Generator
@@ -206,6 +214,8 @@ class EpisodicLoader:
         global_qry = np.empty((e, wq), dtype=np.int32)
 
         if self.mode == "train":
+            if self.emit_indices:
+                return self._build_train_index_batch(plans, rng)
             query = np.empty((e, wq) + seg_shape, dtype=np.float32)
             for i, plan in enumerate(plans):
                 s = q = 0
@@ -267,6 +277,48 @@ class EpisodicLoader:
         )
         return batch.replace(
             global_target=np.concatenate([global_sup, global_qry], axis=1)
+        )
+
+    def _build_train_index_batch(self, plans: List[EpisodeIndices], rng):
+        """Index twin of the dense train branch: G == W*Q, mask all-ones,
+        same rng draw order as the payload path (bit-identical episodes)."""
+        from ..episode import IndexedEpisodeBatch, local_targets
+
+        ds = self.dataset
+        starts = self._bank_starts
+        e = len(plans)
+        ws = self.way * self.shot
+        wq = self.way * self.query
+        support_idx = np.empty((e, ws), dtype=np.int32)
+        query_idx = np.empty((e, wq), dtype=np.int32)
+        global_sup = np.empty((e, ws), dtype=np.int32)
+        global_qry = np.empty((e, wq), dtype=np.int32)
+        for i, plan in enumerate(plans):
+            s = q = 0
+            for w, cls in enumerate(plan.classes):
+                for k in plan.support[w]:
+                    for _ in range(self.augment_times):
+                        support_idx[i, s] = starts[cls][k] + \
+                            self._pick_segment_offset(ds.clips[cls][k], rng)
+                        global_sup[i, s] = cls + ds.class_offset
+                        s += 1
+                for k in plan.query[w]:
+                    query_idx[i, q] = starts[cls][k] + \
+                        self._pick_segment_offset(ds.clips[cls][k], rng)
+                    global_qry[i, q] = cls + ds.class_offset
+                    q += 1
+        return IndexedEpisodeBatch(
+            support_idx=support_idx,
+            query_idx=query_idx,
+            query_clip=np.broadcast_to(np.arange(wq, dtype=np.int32), (e, wq)),
+            query_mask=np.ones((e, wq), dtype=np.float32),
+            support_target=np.broadcast_to(
+                local_targets(self.way, self.shot), (e, ws)
+            ),
+            query_target=np.broadcast_to(
+                local_targets(self.way, self.query), (e, wq)
+            ),
+            global_target=np.concatenate([global_sup, global_qry], axis=1),
         )
 
     def _build_index_batch(self, plans: List[EpisodeIndices]):
@@ -373,14 +425,38 @@ class FlatLoader:
     ):
         self.dataset = dataset
         self.mode = mode
+        self.emit_indices = False
+        self._bank_starts: Optional[List[List[int]]] = None
         self.sampler = FlatSampler(dataset.clips_per_class(), batch_size, seed=seed)
+
+    def use_segment_bank(self) -> None:
+        """Emit ``IndexedFlatBatch``es of bank row ids (same rng draw order
+        as the payload path — bit-identical after materialization)."""
+        self._bank_starts = self.dataset.segment_bank()[1]
+        self.emit_indices = True
 
     def __len__(self) -> int:
         return len(self.sampler)
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[FlatBatch]:
+    def epoch(self, epoch_idx: int = 0):
         ds = self.dataset
         rng = np.random.default_rng((self.sampler.seed, epoch_idx, 17))
+        if self.emit_indices:
+            from ..episode import IndexedFlatBatch
+
+            starts = self._bank_starts
+            for pairs in self.sampler.epoch(epoch_idx):
+                idx = np.asarray(
+                    [
+                        starts[c][k]
+                        + int(rng.integers(ds.clips[c][k].shape[0]))
+                        for c, k in pairs
+                    ],
+                    dtype=np.int32,
+                )
+                target = np.asarray([c for c, _ in pairs], dtype=np.int32)
+                yield IndexedFlatBatch(data_idx=idx, target=target)
+            return
         for pairs in self.sampler.epoch(epoch_idx):
             data = np.stack(
                 [

@@ -295,3 +295,21 @@ def pack_ragged_episode_indices(
         ),
         global_target=None if global_target is None else np.asarray(global_target),
     )
+
+
+@struct.dataclass
+class IndexedFlatBatch:
+    """``FlatBatch`` twin whose payload is bank row ids (FINETUNING
+    pretraining over the device-resident corpus)."""
+
+    data_idx: jnp.ndarray  # [B] int32
+    target: jnp.ndarray  # [B]
+
+
+def materialize_flat_batch(batch, bank: jnp.ndarray) -> FlatBatch:
+    if isinstance(batch, FlatBatch):
+        return batch
+    data = jnp.take(bank, batch.data_idx, axis=0)
+    if data.dtype != jnp.float32:
+        data = data.astype(jnp.float32)
+    return FlatBatch(data=data, target=batch.target)

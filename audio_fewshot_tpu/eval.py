@@ -96,38 +96,12 @@ class Test:
         return jax.device_put(variables, replicate(self.mesh))
 
     def _setup_segment_banks(self):
-        """Device-resident eval corpus (episode.IndexedEpisodeBatch): ship
-        every segment of the val/test splits to HBM ONCE (in the wire
-        dtype), then per-step transfers are int32 indices.  On tunneled
-        TPUs the per-step segment payload is the measured eval bottleneck
-        (BASELINE.md).  ``device_eval_bank``: true / false / "auto"
-        (default — on when both banks fit ``device_eval_bank_max_gb``)."""
-        knob = self.config.get("device_eval_bank", "auto")
-        if not knob:
-            return None, None
-        loaders = [self.val_loader[0], self.test_loader[0]]
-        if any(not hasattr(ld, "use_segment_bank") for ld in loaders):
-            return None, None  # flat loaders (no episodic eval path)
-        cap = float(self.config.get("device_eval_bank_max_gb", 4.0)) * 2 ** 30
-        per_elem = 2 if self.transfer_dtype is not None else 4
-        total = sum(ld.dataset.bank_nbytes(per_elem) for ld in loaders)
-        if str(knob).lower() == "auto" and total > cap:
-            self.logger.info(
-                "segment bank disabled: %.2f GiB exceeds device_eval_bank_max_gb",
-                total / 2 ** 30,
-            )
-            return None, None
-        banks = []
-        for ld in loaders:
-            host, _ = ld.dataset.segment_bank()
-            if self.transfer_dtype is not None:
-                host = host.astype(self.transfer_dtype)
-            banks.append(jax.device_put(host, replicate(self.mesh)))
-            ld.use_segment_bank()
-        self.logger.info(
-            "device-resident segment banks: %.1f MiB shipped once "
-            "(val %d + test %d segments)",
-            total / 2 ** 20, banks[0].shape[0], banks[1].shape[0],
+        """Device-resident eval corpus — see data/bank.py."""
+        from .data.bank import setup_segment_banks
+
+        banks = setup_segment_banks(
+            self.config, [self.val_loader[0], self.test_loader[0]],
+            self.mesh, self.transfer_dtype, self.logger,
         )
         return banks[0], banks[1]
 

@@ -149,6 +149,18 @@ class Trainer:
 
         self.transfer_dtype = resolve_transfer_dtype(config.get("transfer_dtype"))
 
+        # device-resident segment banks (data/bank.py): corpus ships to HBM
+        # once; batches become int32 gathers — must come after
+        # _init_variables (which consumes a payload example batch)
+        from .data.bank import setup_segment_banks
+
+        banks = setup_segment_banks(
+            config, self.train_loader + [self.val_loader[0], self.test_loader[0]],
+            self.mesh, self.transfer_dtype, self.logger,
+        )
+        self.train_bank = banks[0]
+        self.val_bank, self.test_bank = banks[-2], banks[-1]
+
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("setting",), donate_argnums=(0, 1)
         )
@@ -278,10 +290,16 @@ class Trainer:
             support=aug(batch.support, k_sup), query=aug(batch.query, k_qry)
         )
 
-    def _train_step(self, variables, opt_state, batch, lr_groups, rng,
+    def _train_step(self, variables, opt_state, batch, bank, lr_groups, rng,
                     setting: EpisodeSetting):
+        from .episode import materialize_episode_batch, materialize_flat_batch
         from .parallel.mesh import upcast_floats
 
+        if bank is not None:
+            if hasattr(batch, "data_idx"):
+                batch = materialize_flat_batch(batch, bank)
+            else:
+                batch = materialize_episode_batch(batch, bank)
         batch = upcast_floats(batch)  # undo transfer_dtype wire compression
         if self.augment:
             rng, aug_rng = jax.random.split(rng)
@@ -307,9 +325,12 @@ class Trainer:
         metrics["loss"] = loss
         return new_vars, opt_state, metrics
 
-    def _eval_step(self, variables, batch, setting: EpisodeSetting):
+    def _eval_step(self, variables, batch, bank, setting: EpisodeSetting):
+        from .episode import materialize_episode_batch
         from .parallel.mesh import upcast_floats
 
+        if bank is not None:
+            batch = materialize_episode_batch(batch, bank)
         batch = upcast_floats(batch)
         seg_logits = self.method.forward(variables, batch, setting)
         return self.method.eval_episode_accuracy(seg_logits, batch)
@@ -328,10 +349,10 @@ class Trainer:
             val_acc = test_acc = None
             if (epoch + 1) % int(cfg.get("val_per_epoch", 1)) == 0:
                 self.logger.info("============ Validation on the val set ============")
-                val_acc, val_ci = self._validate(epoch, self.val_loader[0], "val")
+                val_acc, val_ci = self._validate(epoch, self.val_loader[0], "val", self.val_bank)
                 self.logger.info(" * Acc@1 %.3f ± %.3f Best acc %.3f", val_acc, val_ci, max(self.best_val_acc, val_acc))
                 self.logger.info("============ Testing on the test set ============")
-                test_acc, test_ci = self._validate(epoch, self.test_loader[0], "test")
+                test_acc, test_ci = self._validate(epoch, self.test_loader[0], "test", self.test_bank)
                 self.logger.info(" * Acc@1 %.3f ± %.3f Best acc %.3f", test_acc, test_ci, max(self.best_test_acc, test_acc))
 
             self.scheduler.step(train_loss)
@@ -388,8 +409,8 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             t0 = time.time()
             self.variables, self.opt_state, metrics = self._jit_train_step(
-                self.variables, self.opt_state, dev_batch, lr_groups,
-                step_rng, self.train_setting,
+                self.variables, self.opt_state, dev_batch, self.train_bank,
+                lr_groups, step_rng, self.train_setting,
             )
             metrics = jax.device_get(metrics)
             meter.update("calc_time", time.time() - t0)
@@ -417,7 +438,7 @@ class Trainer:
             self.logger.info("profiler trace written to %s", profile_dir)
         return meter.avg("loss")
 
-    def _validate(self, epoch: int, loader, mode: str) -> Tuple[float, float]:
+    def _validate(self, epoch: int, loader, mode: str, bank=None) -> Tuple[float, float]:
         self.writer.set_step(epoch)
         accs = []
         n_mesh = len(self.mesh.devices.ravel())
@@ -437,7 +458,8 @@ class Trainer:
                 yield first
                 yield from it
 
-            if first.support.shape[0] % n_mesh == 0:
+            ep_axis = first.support_idx if hasattr(first, "support_idx") else first.support
+            if ep_axis.shape[0] % n_mesh == 0:
                 yield from transfer_ahead(chain(), self.mesh, self.transfer_dtype)
             else:
                 for b in chain():
@@ -447,7 +469,7 @@ class Trainer:
                     )
 
         for dev_batch in to_device(loader.epoch(epoch)):
-            ep_acc = self._jit_eval_step(self.variables, dev_batch, self.eval_setting)
+            ep_acc = self._jit_eval_step(self.variables, dev_batch, bank, self.eval_setting)
             accs.extend(np.asarray(jax.device_get(ep_acc)).ravel().tolist())
         mean, ci = mean_confidence_interval(accs)
         self.eval_meter.update("acc", mean)

@@ -104,3 +104,88 @@ def test_end_to_end_eval_with_bank_matches_without(tmp_path):
             assert t.test_bank is None
         accs[knob] = t.test_loop()
     assert accs[True][0] == accs[False][0], accs
+
+
+def test_train_indexed_batches_materialize_identically():
+    """Train-mode index batches (random segment picks) must materialize
+    bit-identically — the rng draw order is shared with the payload path."""
+    ds = _dataset()
+
+    def tr_loader(**kw):
+        return EpisodicLoader(
+            ds, way=4, shot=2, query=3, episodes_per_epoch=6, episode_size=2,
+            mode="train", seed=11, prefetch=0, **kw
+        )
+
+    plain = list(tr_loader().epoch(0))
+    indexed_loader = tr_loader()
+    indexed_loader.use_segment_bank()
+    indexed = list(indexed_loader.epoch(0))
+    bank = jnp.asarray(ds.segment_bank()[0])
+
+    assert len(plain) == len(indexed) > 0
+    for pb, ib in zip(plain, indexed):
+        assert isinstance(ib, IndexedEpisodeBatch)
+        mb = materialize_episode_batch(ib, bank)
+        np.testing.assert_array_equal(np.asarray(mb.support), pb.support)
+        np.testing.assert_array_equal(np.asarray(mb.query), pb.query)
+        np.testing.assert_array_equal(
+            np.asarray(mb.global_target), pb.global_target
+        )
+
+
+def test_flat_indexed_batches_materialize_identically():
+    from audio_fewshot_tpu.data.loader import FlatLoader
+    from audio_fewshot_tpu.episode import (
+        IndexedFlatBatch,
+        materialize_flat_batch,
+    )
+
+    ds = _dataset()
+    plain = list(FlatLoader(ds, batch_size=16, seed=4).epoch(0))
+    il = FlatLoader(ds, batch_size=16, seed=4)
+    il.use_segment_bank()
+    indexed = list(il.epoch(0))
+    bank = jnp.asarray(ds.segment_bank()[0])
+
+    assert len(plain) == len(indexed) > 0
+    for pb, ib in zip(plain, indexed):
+        assert isinstance(ib, IndexedFlatBatch)
+        mb = materialize_flat_batch(ib, bank)
+        np.testing.assert_array_equal(np.asarray(mb.data), pb.data)
+        np.testing.assert_array_equal(np.asarray(mb.target), pb.target)
+
+
+def test_end_to_end_training_with_bank_matches_without(tmp_path):
+    """Trainer: loss trajectory with the device bank == without (the
+    augmentation/step rng streams are batch-content independent)."""
+    from audio_fewshot_tpu.train import Trainer
+
+    cfg = {
+        "data_root": "synthetic:6:8",
+        "way_num": 4, "shot_num": 1, "query_num": 2,
+        "test_way": 4, "test_shot": 1, "test_query": 2,
+        "episode_size": 2, "train_episode": 6, "test_episode": 4,
+        "epoch": 1, "val_per_epoch": 1,
+        "max_segments_per_clip": 3, "segment_bucket_sizes": [16, 32],
+        "spec_shape": [1, 32, 40],
+        "seed": 5, "prefetch": 0, "augment": True,
+        "backbone": {"name": "Conv64F", "kwargs": {
+            "num_channels": 1, "last_pool": False, "maxpool_last2": False}},
+        "classifier": {"name": "ProtoNet", "kwargs": {}},
+        "optimizer": {"name": "Adam", "kwargs": {"lr": 0.001}},
+        "result_root": str(tmp_path),
+        "compilation_cache": False,
+    }
+    results = {}
+    for knob in (False, True):
+        c = dict(cfg)
+        c["device_data_bank"] = knob
+        c["tag"] = f"bank_{knob}"
+        t = Trainer(0, c)
+        if knob:
+            assert t.train_bank is not None
+        else:
+            assert t.train_bank is None
+        results[knob] = t.train_loop()
+    assert results[True] == results[False], results
