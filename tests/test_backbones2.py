@@ -45,8 +45,11 @@ def test_clap_embedding_passthrough():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x))
 
 
-def test_clap_backbone_raises_without_dep():
-    with pytest.raises(ImportError):
+def test_clap_backbone_refuses_random_init():
+    """The waveform CLAPBackbone (round 2) refuses to construct without
+    weights unless allow_random_init is set — nobody silently trains
+    "CLAP" from noise."""
+    with pytest.raises(ValueError, match="allow_random_init"):
         BACKBONES.build("CLAPBackbone")
 
 
