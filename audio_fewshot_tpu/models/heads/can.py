@@ -25,23 +25,34 @@ from ..losses import cross_entropy
 
 
 class CAM(nn.Module):
-    """Shared cross-attention over position-correlation maps (reference
-    CAM :124-186).  ``mid`` = h·w of the feature map."""
+    """Shared cross-attention bottleneck (reference CAM :124-163,
+    get_attention): the correlation map is averaged over OWN positions
+    (``a.mean(3)``), squeezed through a 1×1-conv(+BN+relu) bottleneck over
+    the partner-position axis (``mid_channels`` wide — the reference's
+    ``HW`` kwarg), expanded back, and used to weight the partner columns;
+    ``softmax(mean/0.025)+1`` over own positions is the attention.
+
+    The reference hard-requires ``M == mid²`` (square 5×5/6×6 image maps,
+    conv1 ``in_channels = mid*mid``); the Dense pair here accepts any M so
+    non-square audio maps work, with ``mid`` a free bottleneck width
+    (weight-convertible on square maps — tests/test_torch_parity5.py)."""
 
     mid: int
 
     @nn.compact
     def __call__(self, corr, train: bool = False):
-        """corr [.., n1, n2, hw, hw] → attention [.., n1, n2, hw] (for the
-        first side; call twice with transposed corr for the other)."""
-        a = corr.mean(axis=-1)  # GAP over the partner positions
-        w1 = nn.Dense(self.mid, use_bias=True, name="conv1")
-        w2 = nn.Dense(self.mid * 1, use_bias=True, name="conv2")
-        # bottleneck per reference: hw → hw (conv1 maps hw·hw → hw in the
-        # reference's channel packing; an hw→hw dense is the per-map analogue)
-        z = nn.relu(w1(a))
-        z = w2(z)
-        att_logits = jnp.mean(corr * z[..., None], axis=-1)
+        """corr [.., n1, n2, M_own, M_partner] → attention over own
+        positions [.., n1, n2, M_own] (call twice, transposed, for the
+        other side — the reference's a1/a2)."""
+        from ..backbones.layers import BatchNorm
+
+        m_partner = corr.shape[-1]
+        a = corr.mean(axis=-2)  # GAP over own positions (reference a.mean(3))
+        z = nn.Dense(self.mid, name="conv1")(a)
+        z = BatchNorm(name="bn1")(z, train)  # reference ConvBlock BN
+        z = nn.relu(z)
+        z = nn.Dense(m_partner, name="conv2")(z)  # partner-position weights
+        att_logits = jnp.mean(corr * z[..., None, :], axis=-1)
         return jax.nn.softmax(att_logits / 0.025, axis=-1) + 1.0
 
 
@@ -59,6 +70,7 @@ class CAN(MethodBase):
         super().__init__(emb_func, **kwargs)
         self.scale_cls = scale_cls
         self.num_classes = num_classes
+        self._hw_hint = int(HW)
         self._hw = None  # sized at init
         self.modules["cam"] = None
         self.modules["global_fc"] = nn.Dense(num_classes)
@@ -67,16 +79,22 @@ class CAN(MethodBase):
         c, h, w = feats.shape[1:]
         hw = h * w
         self._hw = hw
-        self.modules["cam"] = CAM(mid=hw)
+        # reference bottleneck width (CAM(mid_channels=HW), requiring
+        # hw == HW² on its square image maps); non-square audio maps get
+        # mid ≈ √hw
+        mid = self._hw_hint if hw == self._hw_hint ** 2 else max(
+            1, int(round(hw ** 0.5))
+        )
+        self.modules["cam"] = CAM(mid=mid)
         corr = jnp.zeros((1, 2, 3, hw, hw), jnp.float32)
         sub = self.modules["cam"].init({"params": rngs["params"]}, corr)
         self._merge_init(variables, "cam", sub)
         sub = self.modules["global_fc"].init(rngs["params"], jnp.zeros((1, c)))
         self._merge_init(variables, "global_fc", sub)
 
-    def _attended(self, variables, sup, qry, way, shot):
+    def _attended(self, variables, sup, qry, way, shot, train=False):
         """Cross-attended (proto, query) pairs.
-        Returns proto_att [E,G,way,c], qry_att [E,G,way,c]."""
+        Returns proto_att [E,G,way,c], qry_att [E,G,way,c], updates."""
         e, ws, c, h, w = sup.shape
         g = qry.shape[1]
         hw = h * w
@@ -88,14 +106,15 @@ class CAN(MethodBase):
         # corr[e, way, g, hw_p, hw_q]
         corr = jnp.einsum("ewcx,egcy->ewgxy", pn, qn)
 
-        cam = self.modules["cam"]
-        cam_vars = {"params": variables["params"]["cam"]}
-        a_p = cam.apply(cam_vars, corr)  # [E,way,G,hw_p]
-        a_q = cam.apply(cam_vars, jnp.swapaxes(corr, -1, -2))  # [E,way,G,hw_q]
+        a_p, upd1 = self.apply_module(variables, "cam", corr, train=train)
+        a_q, upd2 = self.apply_module(
+            variables, "cam", jnp.swapaxes(corr, -1, -2), train=train
+        )
 
         proto_att = jnp.einsum("ewcx,ewgx->egwc", proto, a_p) / hw
         qry_att = jnp.einsum("egcy,ewgy->egwc", q, a_q) / hw
-        return proto_att, qry_att
+        updates = self.merge_updates({}, upd1, upd2) if (upd1 or upd2) else {}
+        return proto_att, qry_att, updates
 
     def _sims(self, proto_att, qry_att):
         pn = proto_att / jnp.maximum(
@@ -108,7 +127,10 @@ class CAN(MethodBase):
 
     def loss(self, variables, batch, setting, rng):
         sup, qry, updates = self.embed(variables, batch, train=True, rng=rng)
-        proto_att, qry_att = self._attended(variables, sup, qry, setting.way, setting.shot)
+        proto_att, qry_att, upd2 = self._attended(
+            variables, sup, qry, setting.way, setting.shot, train=True
+        )
+        updates = self.merge_updates({}, updates, upd2) if (updates or upd2) else None
         seg_logits = self._sims(proto_att, qry_att)
         loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
 
@@ -140,5 +162,7 @@ class CAN(MethodBase):
 
     def forward(self, variables, batch, setting):
         sup, qry, _ = self.embed(variables, batch, train=False)
-        proto_att, qry_att = self._attended(variables, sup, qry, setting.way, setting.shot)
+        proto_att, qry_att, _ = self._attended(
+            variables, sup, qry, setting.way, setting.shot
+        )
         return self._sims(proto_att, qry_att)
