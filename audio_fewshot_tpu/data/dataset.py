@@ -119,30 +119,40 @@ class SpectrogramDataset:
     def normalize(self, x: np.ndarray) -> np.ndarray:
         return (x - self.mean) / self.std
 
+    def bank_starts(self) -> List[List[int]]:
+        """``starts[class_idx][clip_idx]`` = first bank row of that clip
+        (its ``n_seg`` segments are contiguous) — cheap, no payload built."""
+        starts: List[List[int]] = []
+        pos = 0
+        for cl in self.clips:
+            row = []
+            for clip in cl:
+                row.append(pos)
+                pos += clip.shape[0]
+            starts.append(row)
+        return starts
+
     def segment_bank(self) -> Tuple[np.ndarray, List[List[int]]]:
         """Flatten every segment of the split into one NORMALIZED array
-        ``bank [N, C, F, T]`` plus ``starts[class_idx][clip_idx]`` = first
-        bank row of that clip (its ``n_seg`` segments are contiguous).
+        ``bank [N, C, F, T]`` plus the ``bank_starts`` map.
 
-        This is the host side of the device-resident eval corpus
-        (episode.IndexedEpisodeBatch): ship the bank once, then episodes are
-        int32 row gathers in HBM instead of per-step wire transfers.
-        Cached — the normalized copy is built once per split.
+        This is the host side of the device-resident corpus
+        (episode.Indexed*Batch): ship the bank once, then batches are int32
+        row gathers in HBM instead of per-step wire transfers.  Cached;
+        ``release_bank_payload`` frees the cache once the device copy
+        shipped (rebuilt on demand if asked again).
         """
         if getattr(self, "_bank", None) is None:
-            starts: List[List[int]] = []
-            pos = 0
-            for cl in self.clips:
-                row = []
-                for clip in cl:
-                    row.append(pos)
-                    pos += clip.shape[0]
-                starts.append(row)
             bank = np.concatenate(
                 [clip for cl in self.clips for clip in cl], axis=0
             ).astype(np.float32)
-            self._bank = (self.normalize(bank), starts)
+            self._bank = (self.normalize(bank), self.bank_starts())
         return self._bank
+
+    def release_bank_payload(self) -> None:
+        """Drop the cached host bank array (the device copy has shipped;
+        only ``bank_starts`` is needed afterwards)."""
+        self._bank = None
 
     def bank_nbytes(self, bytes_per_elem: int = 4) -> int:
         """Size of the segment bank without building it."""

@@ -184,7 +184,7 @@ class EpisodicLoader:
         materializes episodes with ``episode.materialize_episode_batch``.
         Train batches keep the same rng draw order as the payload path, so
         the emitted episodes are bit-identical after materialization."""
-        self._bank_starts = self.dataset.segment_bank()[1]
+        self._bank_starts = self.dataset.bank_starts()
         self.emit_indices = True
 
     # -- batch assembly -----------------------------------------------------
@@ -204,6 +204,10 @@ class EpisodicLoader:
     def _build_batch(
         self, plans: List[EpisodeIndices], rng: np.random.Generator
     ) -> EpisodeBatch:
+        if self.emit_indices:  # before any payload allocation
+            if self.mode == "train":
+                return self._build_train_index_batch(plans, rng)
+            return self._build_index_batch(plans)
         ds = self.dataset
         e = len(plans)
         ws = self.way * self.shot
@@ -214,8 +218,6 @@ class EpisodicLoader:
         global_qry = np.empty((e, wq), dtype=np.int32)
 
         if self.mode == "train":
-            if self.emit_indices:
-                return self._build_train_index_batch(plans, rng)
             query = np.empty((e, wq) + seg_shape, dtype=np.float32)
             for i, plan in enumerate(plans):
                 s = q = 0
@@ -243,8 +245,6 @@ class EpisodicLoader:
             )
 
         # eval: ragged query segments → packed + masked
-        if self.emit_indices:
-            return self._build_index_batch(plans)
         seg_list: List[np.ndarray] = []
         repeats = np.empty((e, wq), dtype=np.int64)
         for i, plan in enumerate(plans):
@@ -282,7 +282,7 @@ class EpisodicLoader:
     def _build_train_index_batch(self, plans: List[EpisodeIndices], rng):
         """Index twin of the dense train branch: G == W*Q, mask all-ones,
         same rng draw order as the payload path (bit-identical episodes)."""
-        from ..episode import IndexedEpisodeBatch, local_targets
+        from ..episode import IndexedEpisodeBatch
 
         ds = self.dataset
         starts = self._bank_starts
@@ -432,7 +432,7 @@ class FlatLoader:
     def use_segment_bank(self) -> None:
         """Emit ``IndexedFlatBatch``es of bank row ids (same rng draw order
         as the payload path — bit-identical after materialization)."""
-        self._bank_starts = self.dataset.segment_bank()[1]
+        self._bank_starts = self.dataset.bank_starts()
         self.emit_indices = True
 
     def __len__(self) -> int:

@@ -189,3 +189,62 @@ def test_end_to_end_training_with_bank_matches_without(tmp_path):
             assert t.train_bank is None
         results[knob] = t.train_loop()
     assert results[True] == results[False], results
+
+
+def test_bank_cap_admits_small_splits_when_large_split_overflows():
+    """A too-large train split must not disable the small val/test banks
+    (code-review r2 finding): admission is per dataset, smallest first."""
+    from audio_fewshot_tpu.data.bank import setup_segment_banks
+    from audio_fewshot_tpu.parallel import get_mesh
+
+    big = SpectrogramDataset.synthetic(
+        num_classes=6, clips_per_class=20, segment_shape=(1, 8, 10),
+        max_segments=4, seed=1,
+    )
+    small = SpectrogramDataset.synthetic(
+        num_classes=3, clips_per_class=4, segment_shape=(1, 8, 10),
+        max_segments=2, seed=2,
+    )
+    big_loader = EpisodicLoader(big, way=3, shot=1, query=2,
+                                episodes_per_epoch=2, mode="train", prefetch=0)
+    small_loader = EpisodicLoader(small, way=3, shot=1, query=2,
+                                  episodes_per_epoch=2, mode="test", prefetch=0)
+    mesh = get_mesh(1)
+    # cap sized between the two banks
+    cap_gb = (small.bank_nbytes(4) + 1) / 2 ** 30
+    cfg = {"device_data_bank": "auto", "device_data_bank_max_gb": cap_gb}
+    banks = setup_segment_banks(cfg, [big_loader, small_loader], mesh, None)
+    assert banks[0] is None and banks[1] is not None
+    assert not big_loader.emit_indices and small_loader.emit_indices
+
+
+def test_bank_knob_alias_resolution():
+    """Non-default values win under either knob name (old result dumps
+    persist device_eval_bank)."""
+    from audio_fewshot_tpu.data.bank import _resolve
+
+    # old dump has the alias default; explicit new-name setting wins
+    assert _resolve({"device_eval_bank": "auto", "device_data_bank": False},
+                    "device_data_bank", "device_eval_bank", "auto") is False
+    # explicit alias wins over new-name default
+    assert _resolve({"device_eval_bank": False, "device_data_bank": "auto"},
+                    "device_data_bank", "device_eval_bank", "auto") is False
+    # both default
+    assert _resolve({"device_eval_bank": "auto", "device_data_bank": "auto"},
+                    "device_data_bank", "device_eval_bank", "auto") == "auto"
+    assert _resolve({}, "device_data_bank", "device_eval_bank", "auto") == "auto"
+
+
+def test_bank_payload_released_after_setup():
+    from audio_fewshot_tpu.data.bank import setup_segment_banks
+    from audio_fewshot_tpu.parallel import get_mesh
+
+    ds = _dataset()
+    loader = _loader(ds)
+    banks = setup_segment_banks({"device_data_bank": True}, [loader],
+                                get_mesh(1), None)
+    assert banks[0] is not None
+    assert getattr(ds, "_bank", None) is None  # host copy freed
+    # loaders still function (starts map is payload-free)
+    b = next(iter(loader.epoch(0)))
+    assert isinstance(b, IndexedEpisodeBatch)
