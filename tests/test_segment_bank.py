@@ -248,3 +248,33 @@ def test_bank_payload_released_after_setup():
     # loaders still function (starts map is payload-free)
     b = next(iter(loader.epoch(0)))
     assert isinstance(b, IndexedEpisodeBatch)
+
+
+def test_bank_eval_sharded_over_8_devices_matches_single(tmp_path):
+    """Bank-indexed eval on an 8-device mesh == 1-device (replicated bank,
+    sharded index batches — the multi-chip serving path)."""
+    from audio_fewshot_tpu.eval import Test
+
+    cfg = {
+        "data_root": "synthetic:8:10",
+        "way_num": 4, "shot_num": 1, "query_num": 2,
+        "test_way": 4, "test_shot": 1, "test_query": 2,
+        "episode_size": 8, "test_episode": 16, "test_epoch": 1,
+        "max_segments_per_clip": 3, "segment_bucket_sizes": [32, 64],
+        "spec_shape": [1, 32, 40],
+        "seed": 5, "prefetch": 0,
+        "backbone": {"name": "Conv64F", "kwargs": {
+            "num_channels": 1, "last_pool": False, "maxpool_last2": False}},
+        "classifier": {"name": "ProtoNet", "kwargs": {}},
+        "epoch": 1, "result_root": str(tmp_path),
+        "device_data_bank": True,
+    }
+    accs = {}
+    for n_dev in (1, 8):
+        c = dict(cfg)
+        c["n_devices"] = n_dev
+        t = Test(0, c, result_path=None)
+        assert t.test_bank is not None
+        assert len(t.mesh.devices.ravel()) == n_dev
+        accs[n_dev] = t.test_loop()
+    assert accs[8][0] == accs[1][0], accs
