@@ -78,6 +78,13 @@ class ConvNF(nn.Module):
 @BACKBONES.register("Conv64F")
 def conv64f(**kwargs) -> ConvNF:
     kwargs.pop("is_bdc", None)
+    # several shipped reference leaf configs (baseline++/skd/maml/... via a
+    # stale backbones/resnet12.yaml include) carry resnet-only kwargs that
+    # the reference's own Conv64F would crash on (conv_four.py:38-49 has no
+    # **kwargs; get_backbone passes them through) — broken as snapshotted;
+    # the intended behavior is that Conv64F ignores them
+    kwargs.pop("keep_prob", None)
+    kwargs.pop("avg_pool", None)
     return ConvNF(features=64, **_clean(kwargs))
 
 

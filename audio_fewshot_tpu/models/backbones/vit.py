@@ -117,3 +117,17 @@ def vit_small(patch_size: int = 16, **kwargs):
     defaults = dict(embed_dim=384, depth=12, num_heads=6, return_tokens=True)
     defaults.update(_clean(kwargs))
     return VisionTransformer(patch_size=patch_size, **defaults)
+
+
+@BACKBONES.register("VisionTransformer")
+def vision_transformer(**kwargs):
+    """The reference's class-aware ViT under its registry name
+    (vit_class_aware.py:213, used by CPEA.yaml with explicit depth/
+    embed_dim/mlp_ratio/num_heads/patch_size/qkv_bias kwargs).  Returns
+    token sequences (the CPEA contract).  ``qkv_bias`` is accepted for
+    config parity (our attention always carries biases, the reference
+    default)."""
+    kwargs.pop("qkv_bias", None)
+    defaults = dict(return_tokens=True)
+    defaults.update(_clean(kwargs))
+    return VisionTransformer(**defaults)

@@ -168,3 +168,7 @@ class MeTAL(MethodBase):
             variables, batch, setting, None, False, self.test_iter
         )
         return seg_logits
+
+
+# the reference's shipped metal.yaml uses the all-caps name (config/metal.yaml:59)
+CLASSIFIERS.register_alias("METAL", "MeTAL")
