@@ -1,0 +1,130 @@
+"""Convert reference (PyTorch) backbone checkpoints to our variable trees.
+
+The migration path for users with trained reference models: the reference's
+``save_part`` emits ``emb_func_best.pth`` torch state dicts
+(libfewshot_core/utils/utils.py:207-265); this module maps them onto our
+flax parameter layout so they load through the normal ``pretrain_path`` /
+``load_part`` flow.  Numerical agreement of the mapped weights is pinned by
+tests/test_torch_parity.py (Conv64F, resnet12 forward parity) and
+tests/test_checkpoint_convert.py (round trip through the tool).
+
+Torch is only needed to *read* ``.pth`` files (tools/convert_torch_
+checkpoint.py); this module operates on plain numpy state dicts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+__all__ = ["convert_backbone_state_dict", "strip_prefix"]
+
+
+def strip_prefix(state: Dict[str, np.ndarray], prefix: str = "emb_func.") -> Dict[str, np.ndarray]:
+    """Keep only ``prefix``-keys (full model checkpoints mix in classifier
+    weights) and strip the prefix; pass through if no key carries it."""
+    if not any(k.startswith(prefix) for k in state):
+        return dict(state)
+    return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d [O,I,kh,kw] → flax [kh,kw,I,O]."""
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def _lin_w(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w).transpose(1, 0)
+
+
+def _bn(params: Dict, stats: Dict, state: Dict[str, np.ndarray], key: str) -> None:
+    params["scale"] = np.asarray(state[key + ".weight"])
+    params["bias"] = np.asarray(state[key + ".bias"])
+    stats["mean"] = np.asarray(state[key + ".running_mean"])
+    stats["var"] = np.asarray(state[key + ".running_var"])
+
+
+def _convert_convnf(state, params, stats):
+    """Conv64F/Conv32F (reference conv_four.py: layer{i} = Sequential(conv,
+    bn, relu[, pool]); optional ``logits`` head = [flatten, bn1d, linear])."""
+    for i in range(1, 5):
+        seq = f"layer{i}"
+        params[seq]["Conv_0"]["kernel"] = _conv_w(state[f"{seq}.0.weight"])
+        if f"{seq}.0.bias" in state:
+            params[seq]["Conv_0"]["bias"] = np.asarray(state[f"{seq}.0.bias"])
+        _bn(
+            params[seq]["BatchNorm_0"]["BatchNorm_0"],
+            stats[seq]["BatchNorm_0"]["BatchNorm_0"],
+            state, f"{seq}.1",
+        )
+    if "logits_dense" in params and "logits.2.weight" in state:
+        _bn(
+            params["logits_bn"]["BatchNorm_0"], stats["logits_bn"]["BatchNorm_0"],
+            state, "logits.1",
+        )
+        params["logits_dense"]["kernel"] = _lin_w(state["logits.2.weight"])
+        params["logits_dense"]["bias"] = np.asarray(state["logits.2.bias"])
+
+
+def _convert_resnet12(state, params, stats):
+    """resnet12 family (reference resnet_12.py: layer{i} = [BasicBlock] with
+    conv1..3/bn1..3 + downsample)."""
+    for i in range(1, 5):
+        blk = f"layer{i}.0"
+        p, s = params[f"layer{i}"], stats[f"layer{i}"]
+        for j in range(1, 4):
+            p[f"conv{j}"]["kernel"] = _conv_w(state[f"{blk}.conv{j}.weight"])
+            _bn(
+                p[f"bn{j}"]["BatchNorm_0"], s[f"bn{j}"]["BatchNorm_0"],
+                state, f"{blk}.bn{j}",
+            )
+        if f"{blk}.downsample.0.weight" in state and "downsample_conv" in p:
+            p["downsample_conv"]["kernel"] = _conv_w(
+                state[f"{blk}.downsample.0.weight"]
+            )
+            _bn(
+                p["downsample_bn"]["BatchNorm_0"],
+                s["downsample_bn"]["BatchNorm_0"],
+                state, f"{blk}.downsample.1",
+            )
+
+
+_CONVERTERS = {
+    "Conv64F": _convert_convnf,
+    "Conv32F": _convert_convnf,
+    "resnet12": _convert_resnet12,
+    "resnet12woLSC": _convert_resnet12,
+}
+
+
+def convert_backbone_state_dict(
+    state: Dict[str, np.ndarray],
+    backbone_name: str,
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference backbone state dict onto a copy of ``template``
+    (``{"params": ..., "batch_stats": ...}`` from our backbone's init).
+
+    Returns the filled tree; raises KeyError on unknown backbones and on
+    missing reference keys (shape/naming drift should fail loudly)."""
+    import copy
+
+    if backbone_name not in _CONVERTERS:
+        raise KeyError(
+            f"no converter for backbone {backbone_name!r}; supported: "
+            f"{sorted(_CONVERTERS)}"
+        )
+    state = strip_prefix({k: np.asarray(v) for k, v in state.items()})
+    out = copy.deepcopy(
+        {
+            "params": template["params"],
+            "batch_stats": template.get("batch_stats", {}),
+        }
+    )
+    out = {
+        col: __import__("jax").tree_util.tree_map(np.asarray, tree)
+        for col, tree in out.items()
+    }
+    _CONVERTERS[backbone_name](state, out["params"], out["batch_stats"])
+    return out
