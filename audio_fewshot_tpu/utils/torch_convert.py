@@ -90,11 +90,29 @@ def _convert_resnet12(state, params, stats):
             )
 
 
+def _convert_resnet12bdc(state, params, stats):
+    """resnet12Bdc (reference resnet_bdc.py: BasicBlockVariant trunk + BdcPool
+    head ``bdc_pool.conv_dr_block`` reduce conv/BN + ``temperature``)."""
+    _convert_resnet12(state, params, stats)
+    head_p, head_s = params["bdc_pool"], stats.get("bdc_pool", {})
+    if "bdc_pool.conv_dr_block.0.weight" in state and "reduce_conv" in head_p:
+        head_p["reduce_conv"]["kernel"] = _conv_w(
+            state["bdc_pool.conv_dr_block.0.weight"]
+        )
+        _bn(
+            head_p["reduce_bn"]["BatchNorm_0"],
+            head_s["reduce_bn"]["BatchNorm_0"],
+            state, "bdc_pool.conv_dr_block.1",
+        )
+    head_p["log_temperature"] = np.asarray(state["bdc_pool.temperature"])
+
+
 _CONVERTERS = {
     "Conv64F": _convert_convnf,
     "Conv32F": _convert_convnf,
     "resnet12": _convert_resnet12,
     "resnet12woLSC": _convert_resnet12,
+    "resnet12Bdc": _convert_resnet12bdc,
 }
 
 

@@ -108,3 +108,29 @@ def test_tool_roundtrip_loads_via_load_part(tmp_path, rng):
     np.testing.assert_allclose(
         ref_out.numpy(), np.asarray(mine), atol=1e-3, rtol=1e-3
     )
+
+
+def test_resnet12bdc_converted_feature_parity(rng):
+    """Flagship backbone: reference resnet12Bdc (BasicBlockVariant trunk +
+    BdcPool) state dict through the converter, forward parity on the BDC
+    vectors (resnet_bdc.py:282-358)."""
+    ref = load_ref("libfewshot_core.model.backbone.resnet_bdc")
+    tm = ref.resnet12Bdc(num_channels=1, drop_rate=0.0, reduce_dim=64).eval()
+    _randomize_bn(tm)
+
+    x = rng.normal(size=(2, 1, 84, 84)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x))
+
+    fm = BACKBONES.build(
+        "resnet12Bdc", num_channels=1, drop_rate=0.0, reduce_dim=64,
+        dtype=jnp.float32,
+    )
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    converted = convert_backbone_state_dict(state, "resnet12Bdc", template)
+
+    mine = fm.apply(converted, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        ref_out.numpy(), np.asarray(mine), atol=5e-3, rtol=1e-2
+    )
