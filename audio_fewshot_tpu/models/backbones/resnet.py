@@ -210,8 +210,10 @@ class MtlBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # torch padding=1 semantics under stride (see resnet18.py note)
         out = MtlConv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      dtype=self.dtype, name="conv1")(x)
+                      padding=((1, 1), (1, 1)), dtype=self.dtype,
+                      name="conv1")(x)
         out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = MtlConv(self.planes, (3, 3), dtype=self.dtype, name="conv2")(out)

@@ -33,8 +33,11 @@ class BasicBlock2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        # torch Conv2d(padding=1) semantics: explicit symmetric pad — flax
+        # "SAME" pads asymmetrically (right/bottom) under stride 2, which
+        # shifts every strided feature map one pixel vs the reference
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding="SAME", use_bias=False, dtype=self.dtype,
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         out = BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)

@@ -32,8 +32,10 @@ class WRNBlock(nn.Module):
         equal_in_out = x.shape[-1] == self.planes
         pre = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn1")(x, train))
         # pre-activation feeds the shortcut only when channels change
+        # torch padding=1 semantics (symmetric) — flax SAME pads
+        # right/bottom under stride 2, shifting the strided map one pixel
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding="SAME", use_bias=False, dtype=self.dtype,
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                       name="conv1")(pre)
         out = nn.relu(BatchNorm(use_running_statistics=self.use_running_statistics, dtype=self.dtype, name="bn2")(out, train))
         if self.drop_rate > 0:

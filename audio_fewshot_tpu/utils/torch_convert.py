@@ -107,12 +107,43 @@ def _convert_resnet12bdc(state, params, stats):
     head_p["log_temperature"] = np.asarray(state["bdc_pool.temperature"])
 
 
+def _convert_resnet18(state, params, stats):
+    """resnet18 (reference resnet_18.py: conv1/bn1 stem + layer{i}.{b}
+    BasicBlocks with optional downsample; ours names blocks layer{i}_{b})."""
+    params["conv1"]["kernel"] = _conv_w(state["conv1.weight"])
+    _bn(params["bn1"]["BatchNorm_0"], stats["bn1"]["BatchNorm_0"], state, "bn1")
+    for i in range(1, 5):
+        b = 0
+        while f"layer{i}.{b}.conv1.weight" in state:
+            name = f"layer{i}_{b}"
+            p, s = params[name], stats[name]
+            for j in (1, 2):
+                p[f"conv{j}"]["kernel"] = _conv_w(
+                    state[f"layer{i}.{b}.conv{j}.weight"]
+                )
+                _bn(
+                    p[f"bn{j}"]["BatchNorm_0"], s[f"bn{j}"]["BatchNorm_0"],
+                    state, f"layer{i}.{b}.bn{j}",
+                )
+            if f"layer{i}.{b}.downsample.0.weight" in state:
+                p["downsample_conv"]["kernel"] = _conv_w(
+                    state[f"layer{i}.{b}.downsample.0.weight"]
+                )
+                _bn(
+                    p["downsample_bn"]["BatchNorm_0"],
+                    s["downsample_bn"]["BatchNorm_0"],
+                    state, f"layer{i}.{b}.downsample.1",
+                )
+            b += 1
+
+
 _CONVERTERS = {
     "Conv64F": _convert_convnf,
     "Conv32F": _convert_convnf,
     "resnet12": _convert_resnet12,
     "resnet12woLSC": _convert_resnet12,
     "resnet12Bdc": _convert_resnet12bdc,
+    "resnet18": _convert_resnet18,
 }
 
 

@@ -134,3 +134,26 @@ def test_resnet12bdc_converted_feature_parity(rng):
     np.testing.assert_allclose(
         ref_out.numpy(), np.asarray(mine), atol=5e-3, rtol=1e-2
     )
+
+
+def test_resnet18_converted_feature_parity(rng):
+    """resnet18 stem + 2-block stages through the converter
+    (resnet_18.py:92-160)."""
+    ref = load_ref("libfewshot_core.model.backbone.resnet_18")
+    tm = ref.resnet18(num_channels=1).eval()
+    _randomize_bn(tm)
+
+    x = rng.normal(size=(2, 1, 84, 84)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x))
+
+    fm = BACKBONES.build("resnet18", num_channels=1, dtype=jnp.float32)
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    converted = convert_backbone_state_dict(state, "resnet18", template)
+
+    mine = fm.apply(converted, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        ref_out.numpy(), np.asarray(mine).reshape(ref_out.shape),
+        atol=5e-3, rtol=1e-2,
+    )
