@@ -108,7 +108,7 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # pad FIRST, then roll (official Swin order): the shift mask assumes
         # wrapped content sits in the last `shift` rows/cols of the padded
         # canvas — rolling the unpadded map misaligns it
@@ -131,7 +131,7 @@ class SwinBlock(nn.Module):
         if pad_h or pad_w:
             y = y[:, :h, :w]
         x = shortcut + y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
@@ -178,7 +178,7 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name=f"stage{s}_block{b}",
                 )(x, train)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x).astype(jnp.float32)
         if not self.is_flatten:
             return to_nchw(x)
         return jnp.mean(x, axis=(1, 2))

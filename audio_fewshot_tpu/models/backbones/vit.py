@@ -33,13 +33,13 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.drop, deterministic=not train, name="attn",
         )(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y)
         y = nn.Dropout(self.drop, deterministic=not train)(y)
@@ -89,7 +89,7 @@ class VisionTransformer(nn.Module):
                 mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
                 dtype=self.dtype, name=f"block{i}",
             )(x, train)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x).astype(jnp.float32)
         if self.return_tokens:
             return x
         return x[:, 0]
