@@ -29,17 +29,20 @@ class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop: float = 0.0
+    #: reference vit.py (standard ViT) uses torch-default LN eps 1e-5;
+    #: vit_class_aware.py pins eps=1e-6 (:230)
+    ln_eps: float = 1e-6
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.drop, deterministic=not train, name="attn",
         )(y, y)
         x = x + y
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y)
         y = nn.Dropout(self.drop, deterministic=not train)(y)
@@ -59,6 +62,7 @@ class VisionTransformer(nn.Module):
     drop_rate: float = 0.0
     return_tokens: bool = False
     num_channels: int = 1
+    ln_eps: float = 1e-6  # class-aware reference default (vit_class_aware.py:230)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -87,9 +91,9 @@ class VisionTransformer(nn.Module):
             x = TransformerBlock(
                 dim=self.embed_dim, num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
-                dtype=self.dtype, name=f"block{i}",
+                ln_eps=self.ln_eps, dtype=self.dtype, name=f"block{i}",
             )(x, train)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x).astype(jnp.float32)
         if self.return_tokens:
             return x
         return x[:, 0]
@@ -102,6 +106,8 @@ def _clean(kwargs):
 @BACKBONES.register("ViT")
 def vit(**kwargs):
     kwargs.pop("image_size", None)
+    # the standard-ViT reference (vit.py) uses torch-default LN eps
+    kwargs.setdefault("ln_eps", 1e-5)
     return VisionTransformer(**_clean(kwargs))
 
 
