@@ -133,7 +133,7 @@ class SwinBlock(nn.Module):
         x = shortcut + y
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
         return x + y
 
@@ -151,6 +151,11 @@ class SwinTransformer(nn.Module):
     window_size: int = 7
     head_dim: int = 32
     is_flatten: bool = True
+    #: the reference ships NO final norm (its mlp_head is commented out,
+    #: swin_transformer.py:355-359) — kept on by default here (it
+    #: stabilizes few-shot cosine/euclid features); final_norm=False gives
+    #: exact reference output (tests/test_torch_parity7.py)
+    final_norm: bool = True
     num_channels: int = 1
     dtype: Dtype = jnp.bfloat16
 
@@ -178,7 +183,9 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name=f"stage{s}_block{b}",
                 )(x, train)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = x.astype(jnp.float32)
         if not self.is_flatten:
             return to_nchw(x)
         return jnp.mean(x, axis=(1, 2))

@@ -44,7 +44,7 @@ class TransformerBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dropout(self.drop, deterministic=not train)(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
         return x + y

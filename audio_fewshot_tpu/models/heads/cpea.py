@@ -32,7 +32,7 @@ class CPEALayer(nn.Module):
         fc1_out = nn.Dense(c, name="fc1_out")
 
         def mlp1(x):  # shared between query and shot (reference self.fc1)
-            return fc1_out(nn.gelu(fc1_hidden(x)))
+            return fc1_out(nn.gelu(fc1_hidden(x), approximate=False))
 
         fq = mlp1(jnp.mean(feat_query, axis=1, keepdims=True)) + feat_query
         fs = mlp1(jnp.mean(feat_shot, axis=1, keepdims=True)) + feat_shot
@@ -56,7 +56,7 @@ class CPEALayer(nn.Module):
 
         sim = jnp.einsum("wlc,gmc->gwlm", s_img, q_img)  # [G, way, L, L]
         sim2 = (sim ** 2).reshape(g, way, l * l)
-        h = nn.gelu(nn.Dense(256, name="fc2_hidden")(sim2))
+        h = nn.gelu(nn.Dense(256, name="fc2_hidden")(sim2), approximate=False)
         return nn.Dense(1, name="fc2_out")(h)[..., 0]  # [G, way]
 
 
