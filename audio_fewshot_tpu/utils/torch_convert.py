@@ -137,6 +137,62 @@ def _convert_resnet18(state, params, stats):
             b += 1
 
 
+def _convert_swin(state, params, stats, factors):
+    """Swin (reference swin_transformer.py, lucidrains-style): per stage a
+    PatchMerging linear (unfold flattens (c, kh, kw); ours (kh, kw, c)) and
+    [regular, shifted] block pairs with packed no-bias qkv and a SCALAR
+    relative-position table indexed by (j−i) — ours is per-head, (i−j):
+    broadcast across heads and flip both displacement axes."""
+    for s in range(4):
+        pfx = f"stage{s + 1}."
+        if pfx + "patch_partition.linear.weight" not in state:
+            continue
+        w = np.asarray(state[pfx + "patch_partition.linear.weight"])
+        out_dim, cff = w.shape
+        f = factors[s]
+        in_c = cff // (f * f)
+        params[f"merge{s}"]["kernel"] = (
+            w.reshape(out_dim, in_c, f, f).transpose(2, 3, 1, 0).reshape(cff, out_dim)
+        )
+        params[f"merge{s}"]["bias"] = np.asarray(
+            state[pfx + "patch_partition.linear.bias"]
+        )
+        b = 0
+        while f"{pfx}layers.{b // 2}.{b % 2}.attention_block.fn.fn.to_qkv.weight" in state:
+            bp = f"{pfx}layers.{b // 2}.{b % 2}."
+            p = params[f"stage{s}_block{b}"]
+            p["norm1"]["scale"] = np.asarray(state[bp + "attention_block.fn.norm.weight"])
+            p["norm1"]["bias"] = np.asarray(state[bp + "attention_block.fn.norm.bias"])
+            qkv_w = np.asarray(state[bp + "attention_block.fn.fn.to_qkv.weight"])
+            p["attn"]["qkv"]["kernel"] = qkv_w.T
+            p["attn"]["qkv"]["bias"] = np.zeros((qkv_w.shape[0],), np.float32)
+            p["attn"]["proj"]["kernel"] = _lin_w(
+                state[bp + "attention_block.fn.fn.to_out.weight"]
+            )
+            p["attn"]["proj"]["bias"] = np.asarray(
+                state[bp + "attention_block.fn.fn.to_out.bias"]
+            )
+            table = np.asarray(state[bp + "attention_block.fn.fn.pos_embedding"])
+            heads = p["attn"]["rel_pos_bias"].shape[1]
+            p["attn"]["rel_pos_bias"] = np.tile(
+                np.flip(table, (0, 1)).reshape(-1, 1), (1, heads)
+            )
+            p["norm2"]["scale"] = np.asarray(state[bp + "mlp_block.fn.norm.weight"])
+            p["norm2"]["bias"] = np.asarray(state[bp + "mlp_block.fn.norm.bias"])
+            p["fc1"]["kernel"] = _lin_w(state[bp + "mlp_block.fn.fn.net.0.weight"])
+            p["fc1"]["bias"] = np.asarray(state[bp + "mlp_block.fn.fn.net.0.bias"])
+            p["fc2"]["kernel"] = _lin_w(state[bp + "mlp_block.fn.fn.net.2.weight"])
+            p["fc2"]["bias"] = np.asarray(state[bp + "mlp_block.fn.fn.net.2.bias"])
+            b += 1
+
+
+def _swin_with_factors(factors):
+    def conv(state, params, stats):
+        _convert_swin(state, params, stats, factors)
+
+    return conv
+
+
 _CONVERTERS = {
     "Conv64F": _convert_convnf,
     "Conv32F": _convert_convnf,
@@ -144,6 +200,12 @@ _CONVERTERS = {
     "resnet12woLSC": _convert_resnet12,
     "resnet12Bdc": _convert_resnet12bdc,
     "resnet18": _convert_resnet18,
+    # downscaling_factors per reference factory (swin_transformer.py:375-423)
+    "swin_mini": _swin_with_factors((3, 2, 2, 1)),
+    "swin_t": _swin_with_factors((4, 2, 2, 2)),
+    "swin_s": _swin_with_factors((4, 2, 2, 2)),
+    "swin_b": _swin_with_factors((4, 2, 2, 2)),
+    "swin_l": _swin_with_factors((4, 2, 2, 2)),
 }
 
 

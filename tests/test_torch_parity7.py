@@ -104,3 +104,36 @@ def test_swin_forward_parity(rng):
     np.testing.assert_allclose(
         _np(ref_out), np.asarray(mine), atol=2e-4, rtol=1e-3
     )
+
+
+def test_swin_library_converter_matches(rng):
+    """The shipped converter (utils/torch_convert._convert_swin) reproduces
+    the reference forward from a raw state dict."""
+    ref_mod = load_ref("libfewshot_core.model.backbone.swin_transformer")
+    from audio_fewshot_tpu.models.backbones.swin import SwinTransformer
+    from audio_fewshot_tpu.utils import torch_convert as tc
+
+    hidden, heads, hd, ws = 16, (1, 2, 4, 8), 8, 2
+    depths = (2, 2, 2, 2)
+    factors = (2, 2, 2, 2)
+    tm = ref_mod.SwinTransformer(
+        hidden_dim=hidden, layers=depths, heads=heads, channels=1,
+        head_dim=hd, window_size=ws, downscaling_factors=factors,
+        relative_pos_embedding=True,
+    ).eval()
+    x = rng.normal(size=(2, 1, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x)).numpy()
+
+    fm = SwinTransformer(
+        embed_dim=hidden, depths=depths, num_heads=heads,
+        downscaling_factors=factors, window_size=ws, head_dim=hd,
+        final_norm=False, num_channels=1, dtype=jnp.float32,
+    )
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    params = jax.tree_util.tree_map(np.asarray, template["params"])
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tc._convert_swin(state, params, {}, factors)
+
+    mine = fm.apply({"params": params}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(ref_out, np.asarray(mine), atol=2e-4, rtol=1e-3)
