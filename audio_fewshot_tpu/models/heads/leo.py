@@ -11,6 +11,13 @@ computed under ``no_grad`` (frozen pretrained emb).
 
 TPU re-design: both inner loops are ``lax.scan``s of ``jax.grad`` steps over
 the latent / weight pytrees — differentiable end-to-end.
+
+Documented delta: the reference samples ``mean + var·z`` with the RAW
+second half as the scale (leo.py:29-33 — sign-indefinite; a negative
+"var" just mirrors the noise), while ``gaussian_sample`` here uses the
+standard log-variance parameterization ``mean + exp(½·logvar)·z`` (always
+positive scale, KL in closed form).  Both learn the same family; the
+latent parameterization differs.
 """
 
 from __future__ import annotations
