@@ -211,6 +211,7 @@ class Test:
             )
             th = self.method.calibrate_threshold(
                 self.variables, self.val_loader[0], self.setting, self.mesh,
+                policy=str(cfg.get("uncertainty_policy", "mean")),
                 dump_path=dump, bank=self.val_bank,
             )
             self.logger.info("uncertainty threshold: %s", th)

@@ -112,3 +112,32 @@ def test_boil_nil_mode():
     assert out.shape == (1, 6, 3)
     # cosine logits bounded in [-1, 1]
     assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-5
+
+
+def test_calibration_overall_policy_runs():
+    """uncertainty_policy='overall' (pooled 95% quantile, reference
+    deepbdc.py:387-402) — wired from config via eval.py."""
+    from audio_fewshot_tpu.data.dataset import SpectrogramDataset
+    from audio_fewshot_tpu.data.loader import EpisodicLoader
+    from audio_fewshot_tpu.models import build_method
+    from audio_fewshot_tpu.models.base import EpisodeSetting
+    from audio_fewshot_tpu.parallel import get_mesh
+
+    method = build_method({
+        "backbone": {"name": "Conv64F", "kwargs": {
+            "is_flatten": False, "last_pool": False, "maxpool_last2": False,
+            "num_channels": 1}},
+        "classifier": {"name": "DeepBDC", "kwargs": None},
+        "modality": "audio", "precision": "fp32",
+    })
+    setting = EpisodeSetting(way=3, shot=2, query=3)
+    ds = SpectrogramDataset.synthetic(num_classes=5, clips_per_class=8,
+                                      segment_shape=(1, 32, 24), seed=0)
+    loader = EpisodicLoader(ds, way=3, shot=2, query=3, episodes_per_epoch=2,
+                            episode_size=2, mode="eval", prefetch=0)
+    batch = next(iter(loader.epoch(0)))
+    variables = method.init_variables(jax.random.PRNGKey(0), batch, setting)
+    th = method.calibrate_threshold(variables, loader, setting, get_mesh(1),
+                                    policy="overall")
+    assert th is not None and np.isfinite(th)
+    assert method.uncertain_global_threshold is not None
