@@ -130,3 +130,9 @@ def floor_power(num: int, divisor: int, power: int) -> int:
     for _ in range(power):
         num = num // divisor
     return num
+
+
+def clean_kwargs(kwargs):
+    """Drop None-valued config kwargs (YAML ``~``/null passthrough) before
+    constructing a flax dataclass module."""
+    return {k: v for k, v in kwargs.items() if v is not None}

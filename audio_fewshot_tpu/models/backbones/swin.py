@@ -106,7 +106,10 @@ class SwinBlock(nn.Module):
         # x: [N, H, W, C]
         n, h, w, c = x.shape
         ws = min(self.window_size, h, w)
-        shift = self.shift if ws < min(h, w) else 0
+        # shift whenever ANY axis spans multiple windows (the reference
+        # always shifts; a 7×14 map must mix along the long/time axis) —
+        # only a single-window map (both dims ≤ ws) degenerates
+        shift = self.shift if (h > ws or w > ws) else 0
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # pad FIRST, then roll (official Swin order): the shift mask assumes
@@ -191,8 +194,7 @@ class SwinTransformer(nn.Module):
         return jnp.mean(x, axis=(1, 2))
 
 
-def _clean(kwargs):
-    return {k: v for k, v in kwargs.items() if v is not None}
+from .layers import clean_kwargs as _clean  # noqa: E402
 
 
 @BACKBONES.register("swin_mini")

@@ -36,17 +36,23 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # dropout placement per the reference (vit_class_aware.py Attention/
+        # Mlp): proj_drop on the attention OUTPUT and drop after BOTH MLP
+        # linears — not on the attention probabilities (attn_drop_rate
+        # defaults to 0 there)
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
-            dropout_rate=self.drop, deterministic=not train, name="attn",
+            dropout_rate=0.0, deterministic=True, name="attn",
         )(y, y)
+        y = nn.Dropout(self.drop, deterministic=not train)(y)
         x = x + y
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dropout(self.drop, deterministic=not train)(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dropout(self.drop, deterministic=not train)(y)
         return x + y
 
 
@@ -99,16 +105,34 @@ class VisionTransformer(nn.Module):
         return x[:, 0]
 
 
-def _clean(kwargs):
-    return {k: v for k, v in kwargs.items() if v is not None}
+from .layers import clean_kwargs as _clean  # noqa: E402
 
 
 @BACKBONES.register("ViT")
 def vit(**kwargs):
     kwargs.pop("image_size", None)
-    # the standard-ViT reference (vit.py) uses torch-default LN eps
+    # accept the reference's standard-ViT kwarg names (vit.py /
+    # config/backbones/ViT.yaml: dim/heads/mlp_dim/dim_head/dropout/
+    # emb_dropout/channels) alongside ours
+    renames = {
+        "dim": "embed_dim", "heads": "num_heads", "channels": "num_channels",
+        "dropout": "drop_rate",
+    }
+    for src, dst in renames.items():
+        if src in kwargs:
+            kwargs.setdefault(dst, kwargs.pop(src))
+    mlp_dim = kwargs.pop("mlp_dim", None)
+    if mlp_dim and kwargs.get("embed_dim"):
+        kwargs.setdefault("mlp_ratio", float(mlp_dim) / kwargs["embed_dim"])
+    kwargs.pop("dim_head", None)  # ours derives head_dim = dim / heads
+    kwargs.pop("emb_dropout", None)  # folded into drop_rate (pos_drop)
+    kwargs.pop("num_classes", None)  # reference head is identity at 0
+    kwargs.pop("pool", None)
+    kwargs = _clean(kwargs)
+    # the standard-ViT reference (vit.py) uses torch-default LN eps —
+    # after _clean so an explicit null can't resurrect the 1e-6 default
     kwargs.setdefault("ln_eps", 1e-5)
-    return VisionTransformer(**_clean(kwargs))
+    return VisionTransformer(**kwargs)
 
 
 @BACKBONES.register("vit_tiny")

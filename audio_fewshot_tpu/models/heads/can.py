@@ -93,8 +93,10 @@ class CAN(MethodBase):
         self._merge_init(variables, "global_fc", sub)
 
     def _attended(self, variables, sup, qry, way, shot, train=False):
-        """Cross-attended (proto, query) pairs.
-        Returns proto_att [E,G,way,c], qry_att [E,G,way,c], updates."""
+        """Cross-attended pairs.  Returns proto_att [E,G,way,c] (the
+        reference GAPs prototypes before BOTH branches, can.py:245-246),
+        qry_maps [E,G,way,c,hw] (UNpooled — the train losses are
+        per-position, :251-266), updates."""
         e, ws, c, h, w = sup.shape
         g = qry.shape[1]
         hw = h * w
@@ -112,9 +114,9 @@ class CAN(MethodBase):
         )
 
         proto_att = jnp.einsum("ewcx,ewgx->egwc", proto, a_p) / hw
-        qry_att = jnp.einsum("egcy,ewgy->egwc", q, a_q) / hw
+        qry_maps = jnp.einsum("egcy,ewgy->egwcy", q, a_q)  # [E,G,way,c,hw]
         updates = self.merge_updates({}, upd1, upd2) if (upd1 or upd2) else {}
-        return proto_att, qry_att, updates
+        return proto_att, qry_maps, updates
 
     def _sims(self, proto_att, qry_att):
         pn = proto_att / jnp.maximum(
@@ -126,23 +128,47 @@ class CAN(MethodBase):
         return self.scale_cls * jnp.sum(pn * qn, axis=-1)  # [E,G,way]
 
     def loss(self, variables, batch, setting, rng):
+        """Reference training objective (can.py:466-472): per-position
+        global CE (1×1-conv classifier on the true-class attended map) +
+        0.5 × per-position metric CE (cosine of per-position query features
+        vs the GAP'd prototype)."""
         sup, qry, updates = self.embed(variables, batch, train=True, rng=rng)
-        proto_att, qry_att, upd2 = self._attended(
+        proto_att, qry_maps, upd2 = self._attended(
             variables, sup, qry, setting.way, setting.shot, train=True
         )
         updates = self.merge_updates({}, updates, upd2) if (updates or upd2) else None
-        seg_logits = self._sims(proto_att, qry_att)
-        loss = masked_cross_entropy(seg_logits, segment_targets(batch), batch.query_mask)
+        targets = segment_targets(batch)
+        mask = batch.query_mask
+
+        # per-position metric CE (reference cls_scores, :251-256)
+        pn = proto_att / jnp.maximum(
+            jnp.linalg.norm(proto_att, axis=-1, keepdims=True), 1e-12
+        )
+        qmn = qry_maps / jnp.maximum(
+            jnp.linalg.norm(qry_maps, axis=3, keepdims=True), 1e-12
+        )
+        pos_scores = self.scale_cls * jnp.einsum("egwcy,egwc->egwy", qmn, pn)
+        logp = jax.nn.log_softmax(pos_scores, axis=2)  # over way, per position
+        picked = jnp.take_along_axis(
+            logp, targets[:, :, None, None], axis=2
+        )[:, :, 0, :]  # [E,G,hw]
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        metric_loss = -jnp.sum(jnp.mean(picked, axis=-1) * mask) / denom
+
+        # summed-over-positions scores drive metrics/vote (reference :473-476)
+        seg_logits = jnp.sum(pos_scores, axis=-1)
+        loss = 0.5 * metric_loss
 
         if batch.global_target is not None:
-            # global CE over the true-class attended query features
-            targets = segment_targets(batch)
-            true_att = jnp.take_along_axis(
-                qry_att, targets[..., None, None], axis=2
-            )[..., 0, :]  # [E,G,c]
+            # per-position global CE on the true-class attended map
+            # (reference :258-266 — our Dense per position == their 1×1 conv)
+            true_maps = jnp.take_along_axis(
+                qry_maps, targets[:, :, None, None, None], axis=2
+            )[:, :, 0]  # [E,G,c,hw]
             glogits = self.modules["global_fc"].apply(
-                {"params": variables["params"]["global_fc"]}, true_att
-            )
+                {"params": variables["params"]["global_fc"]},
+                jnp.swapaxes(true_maps, -1, -2),  # [E,G,hw,c]
+            )  # [E,G,hw,num_classes]
             g_qry = batch.global_target[:, sup.shape[1]:]
             # a silent skip here would train without the aux term and
             # without a sound — fail loudly on a wrong global_target layout
@@ -151,9 +177,12 @@ class CAN(MethodBase):
                 f"{glogits.shape[:2]} vs query global targets {g_qry.shape} "
                 "(global_target must be [support ‖ query] along axis 1)"
             )
-            loss = loss + cross_entropy(
-                glogits.reshape(-1, self.num_classes), g_qry.reshape(-1)
-            )
+            glogp = jax.nn.log_softmax(glogits, axis=-1)
+            gpicked = jnp.take_along_axis(
+                glogp, g_qry[:, :, None, None], axis=-1
+            )[..., 0]  # [E,G,hw]
+            global_loss = -jnp.sum(jnp.mean(gpicked, axis=-1) * mask) / denom
+            loss = loss + global_loss
         return loss, LossOutput(
             seg_logits=seg_logits,
             metrics=self.train_metrics(seg_logits, batch),
@@ -162,7 +191,8 @@ class CAN(MethodBase):
 
     def forward(self, variables, batch, setting):
         sup, qry, _ = self.embed(variables, batch, train=False)
-        proto_att, qry_att, _ = self._attended(
+        proto_att, qry_maps, _ = self._attended(
             variables, sup, qry, setting.way, setting.shot
         )
-        return self._sims(proto_att, qry_att)
+        # eval pools both sides (reference val(), can.py:205-211)
+        return self._sims(proto_att, qry_maps.mean(axis=-1))

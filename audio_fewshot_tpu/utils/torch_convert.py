@@ -112,6 +112,7 @@ def _convert_resnet18(state, params, stats):
     BasicBlocks with optional downsample; ours names blocks layer{i}_{b})."""
     params["conv1"]["kernel"] = _conv_w(state["conv1.weight"])
     _bn(params["bn1"]["BatchNorm_0"], stats["bn1"]["BatchNorm_0"], state, "bn1")
+    n_blocks = 0
     for i in range(1, 5):
         b = 0
         while f"layer{i}.{b}.conv1.weight" in state:
@@ -135,6 +136,12 @@ def _convert_resnet18(state, params, stats):
                     state, f"layer{i}.{b}.downsample.1",
                 )
             b += 1
+            n_blocks += 1
+    if n_blocks == 0:
+        raise KeyError(
+            "no resnet18 block keys found (expected layer1.0.conv1.weight) — "
+            "wrong checkpoint or unexpected key prefix"
+        )
 
 
 def _convert_swin(state, params, stats, factors):
@@ -143,10 +150,12 @@ def _convert_swin(state, params, stats, factors):
     [regular, shifted] block pairs with packed no-bias qkv and a SCALAR
     relative-position table indexed by (j−i) — ours is per-head, (i−j):
     broadcast across heads and flip both displacement axes."""
+    converted = 0
     for s in range(4):
         pfx = f"stage{s + 1}."
         if pfx + "patch_partition.linear.weight" not in state:
             continue
+        converted += 1
         w = np.asarray(state[pfx + "patch_partition.linear.weight"])
         out_dim, cff = w.shape
         f = factors[s]
@@ -174,9 +183,17 @@ def _convert_swin(state, params, stats, factors):
             )
             table = np.asarray(state[bp + "attention_block.fn.fn.pos_embedding"])
             heads = p["attn"]["rel_pos_bias"].shape[1]
-            p["attn"]["rel_pos_bias"] = np.tile(
-                np.flip(table, (0, 1)).reshape(-1, 1), (1, heads)
-            )
+            new_table = np.tile(np.flip(table, (0, 1)).reshape(-1, 1), (1, heads))
+            if new_table.shape != p["attn"]["rel_pos_bias"].shape:
+                raise ValueError(
+                    f"swin window-size mismatch at stage{s}_block{b}: the "
+                    f"checkpoint's rel-pos table is {new_table.shape} but the "
+                    f"template expects {p['attn']['rel_pos_bias'].shape} — "
+                    "the template's feature map clamped the effective window "
+                    "below the checkpoint's window_size; init the template "
+                    "on an input shape whose stage maps are ≥ window_size"
+                )
+            p["attn"]["rel_pos_bias"] = new_table
             p["norm2"]["scale"] = np.asarray(state[bp + "mlp_block.fn.norm.weight"])
             p["norm2"]["bias"] = np.asarray(state[bp + "mlp_block.fn.norm.bias"])
             p["fc1"]["kernel"] = _lin_w(state[bp + "mlp_block.fn.fn.net.0.weight"])
@@ -184,6 +201,12 @@ def _convert_swin(state, params, stats, factors):
             p["fc2"]["kernel"] = _lin_w(state[bp + "mlp_block.fn.fn.net.2.weight"])
             p["fc2"]["bias"] = np.asarray(state[bp + "mlp_block.fn.fn.net.2.bias"])
             b += 1
+    if converted == 0:
+        raise KeyError(
+            "no swin stage keys found (expected stage1.patch_partition.*) — "
+            "wrong checkpoint, or keys carry an unexpected prefix; got e.g. "
+            + ", ".join(sorted(state)[:3])
+        )
 
 
 def _swin_with_factors(factors):
