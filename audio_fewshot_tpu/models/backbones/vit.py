@@ -110,6 +110,11 @@ from .layers import clean_kwargs as _clean  # noqa: E402
 
 @BACKBONES.register("ViT")
 def vit(**kwargs):
+    """Standard ViT under the reference's name.  Documented delta: the
+    reference (vit.py:118-151) mean-pools all tokens with no final norm;
+    ours returns the final-norm'd cls feature (the stronger few-shot
+    convention, and the only shipped ViT.yaml is an all-zeros FIXME
+    placeholder — no runnable reference config pins the pooling)."""
     kwargs.pop("image_size", None)
     # accept the reference's standard-ViT kwarg names (vit.py /
     # config/backbones/ViT.yaml: dim/heads/mlp_dim/dim_head/dropout/
