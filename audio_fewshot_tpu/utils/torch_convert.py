@@ -144,6 +144,54 @@ def _convert_resnet18(state, params, stats):
         )
 
 
+def _convert_resnet18bdc(state, params, stats):
+    """resnet18Bdc (reference resnet_bdc.py:141-190: trunk Sequential of
+    [conv1, bn1, relu, pool] + 8 SimpleBlocks (C1/BN1/C2/BN2 +
+    shortcut/BNshortcut) + BdcPool head)."""
+    params["conv1"]["kernel"] = _conv_w(state["trunk.0.weight"])
+    _bn(params["bn1"]["BatchNorm_0"], stats["bn1"]["BatchNorm_0"], state, "trunk.1")
+    n_blocks = 0
+    for s in range(4):
+        for b in range(2):
+            t = 4 + s * 2 + b  # trunk index past [conv, bn, relu, pool]
+            if f"trunk.{t}.C1.weight" not in state:
+                continue
+            name = f"layer{s + 1}_{b}"
+            p, st = params[name], stats[name]
+            for j, (cw, bn) in enumerate((("C1", "BN1"), ("C2", "BN2")), start=1):
+                p[f"conv{j}"]["kernel"] = _conv_w(state[f"trunk.{t}.{cw}.weight"])
+                _bn(
+                    p[f"bn{j}"]["BatchNorm_0"], st[f"bn{j}"]["BatchNorm_0"],
+                    state, f"trunk.{t}.{bn}",
+                )
+            if f"trunk.{t}.shortcut.weight" in state:
+                p["downsample_conv"]["kernel"] = _conv_w(
+                    state[f"trunk.{t}.shortcut.weight"]
+                )
+                _bn(
+                    p["downsample_bn"]["BatchNorm_0"],
+                    st["downsample_bn"]["BatchNorm_0"],
+                    state, f"trunk.{t}.BNshortcut",
+                )
+            n_blocks += 1
+    if n_blocks == 0:
+        raise KeyError(
+            "no resnet18Bdc trunk keys found (expected trunk.4.C1.weight) — "
+            "wrong checkpoint or unexpected key prefix"
+        )
+    head_p, head_s = params["bdc_pool"], stats.get("bdc_pool", {})
+    if "bdc_pool.conv_dr_block.0.weight" in state and "reduce_conv" in head_p:
+        head_p["reduce_conv"]["kernel"] = _conv_w(
+            state["bdc_pool.conv_dr_block.0.weight"]
+        )
+        _bn(
+            head_p["reduce_bn"]["BatchNorm_0"],
+            head_s["reduce_bn"]["BatchNorm_0"],
+            state, "bdc_pool.conv_dr_block.1",
+        )
+    head_p["log_temperature"] = np.asarray(state["bdc_pool.temperature"])
+
+
 def _convert_swin(state, params, stats, factors):
     """Swin (reference swin_transformer.py, lucidrains-style): per stage a
     PatchMerging linear (unfold flattens (c, kh, kw); ours (kh, kw, c)) and
@@ -223,6 +271,7 @@ _CONVERTERS = {
     "resnet12woLSC": _convert_resnet12,
     "resnet12Bdc": _convert_resnet12bdc,
     "resnet18": _convert_resnet18,
+    "resnet18Bdc": _convert_resnet18bdc,
     # downscaling_factors per reference factory (swin_transformer.py:375-423)
     "swin_mini": _swin_with_factors((3, 2, 2, 1)),
     "swin_t": _swin_with_factors((4, 2, 2, 2)),

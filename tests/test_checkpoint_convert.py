@@ -157,3 +157,29 @@ def test_resnet18_converted_feature_parity(rng):
         ref_out.numpy(), np.asarray(mine).reshape(ref_out.shape),
         atol=5e-3, rtol=1e-2,
     )
+
+
+def test_resnet18bdc_converted_feature_parity(rng):
+    """resnet18Bdc: reference SimpleBlock trunk + BdcPool through the
+    converter, forward parity on the BDC vectors (resnet_bdc.py:141-190).
+    The reference stem is 3-channel; the test feeds RGB-shaped input."""
+    ref = load_ref("libfewshot_core.model.backbone.resnet_bdc")
+    tm = ref.resnet18Bdc(reduce_dim=64).eval()
+    _randomize_bn(tm)
+
+    x = rng.normal(size=(2, 3, 84, 84)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x))
+
+    fm = BACKBONES.build(
+        "resnet18Bdc", num_channels=3, reduce_dim=64, dtype=jnp.float32,
+    )
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    from audio_fewshot_tpu.utils.torch_convert import convert_backbone_state_dict as conv
+
+    converted = conv(state, "resnet18Bdc", template)
+    mine = fm.apply(converted, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        ref_out.numpy(), np.asarray(mine), atol=5e-3, rtol=1e-2
+    )
