@@ -110,3 +110,66 @@ def test_matchingnet_layer_parity(rng):
     )
     np.testing.assert_allclose(_np(g_ref), np.asarray(g_mine), atol=1e-5)
     np.testing.assert_allclose(_np(f_ref), np.asarray(f_mine), atol=1e-5)
+
+
+def test_renet_scr_parity(rng):
+    """RENet SCR self-correlation + refinement vs the reference
+    SCRLayer/SCR (renet.py:131-233, residual+relu at :367-374) with
+    converted conv/BN weights."""
+    ref_mod = load_ref("libfewshot_core.model.finetuning.renet")
+    from audio_fewshot_tpu.models.heads.renet import SCRLayer
+    import jax.numpy as jnp  # noqa: F811
+
+    c, h, w, mid = 32, 6, 6, 16
+    layer = ref_mod.SCRLayer(planes=[c, mid, mid, mid, c]).eval()
+    scr = layer.model[1]
+    for bn in (scr.conv1x1_in[1], scr.conv1[1], scr.conv2[1], scr.conv1x1_out[1]):
+        with torch.no_grad():
+            bn.running_mean.copy_(torch.randn(bn.running_mean.shape) * 0.2)
+            bn.running_var.copy_(torch.rand(bn.running_var.shape) + 0.5)
+            bn.weight.copy_(torch.randn(bn.weight.shape) * 0.5 + 1.0)
+            bn.bias.copy_(torch.randn(bn.bias.shape) * 0.2)
+
+    x = rng.normal(size=(3, c, h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch.relu(
+            torch.from_numpy(x) + layer(torch.from_numpy(x))
+        ).numpy()
+
+    def bn_tree(bn):
+        return (
+            {"BatchNorm_0": {"scale": jnp.asarray(_np(bn.weight)),
+                             "bias": jnp.asarray(_np(bn.bias))}},
+            {"BatchNorm_0": {"mean": jnp.asarray(_np(bn.running_mean)),
+                             "var": jnp.asarray(_np(bn.running_var))}},
+        )
+
+    p_in, s_in = bn_tree(scr.conv1x1_in[1])
+    p1, s1 = bn_tree(scr.conv1[1])
+    p2, s2 = bn_tree(scr.conv2[1])
+    p_out, s_out = bn_tree(scr.conv1x1_out[1])
+    variables = {
+        "params": {
+            "conv_in": {"kernel": jnp.asarray(
+                _np(scr.conv1x1_in[0].weight).transpose(2, 3, 1, 0))},
+            "bn_in": p_in,
+            # Conv3d (1,3,3) kernels convolve only the (u,v) plane
+            "conv1": {"kernel": jnp.asarray(
+                _np(scr.conv1[0].weight)[:, :, 0].transpose(2, 3, 1, 0))},
+            "bn1": p1,
+            "conv2": {"kernel": jnp.asarray(
+                _np(scr.conv2[0].weight)[:, :, 0].transpose(2, 3, 1, 0))},
+            "bn2": p2,
+            "conv_out": {"kernel": jnp.asarray(
+                _np(scr.conv1x1_out[0].weight).transpose(2, 3, 1, 0))},
+            "bn_out": p_out,
+        },
+        "batch_stats": {"bn_in": s_in, "bn1": s1, "bn2": s2, "bn_out": s_out},
+    }
+    mine_mod = SCRLayer(channels=mid, kernel=5)
+    mine = mine_mod.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+    )
+    np.testing.assert_allclose(
+        ref_out, np.asarray(mine).transpose(0, 3, 1, 2), atol=1e-4, rtol=1e-3
+    )
