@@ -76,21 +76,67 @@ class SCRLayer(nn.Module):
         return nn.relu(x + y)
 
 
+class SepConv4d(nn.Module):
+    """Separable 4-D conv (reference SepConv4d, renet.py:60-129): a (k,k,1)
+    conv over the FIRST plane + BN, relu, a (1,k,k) conv over the SECOND
+    plane + BN, then a 1×1 channel projection + BN when channels change.
+    Layout here: ``x [B, U, V, H, W, C]``; all convs channel-preserving
+    until the projection (matching the reference exactly)."""
+
+    in_planes: int
+    out_planes: int
+    k: int = 3
+    #: batch-stat-only by default (the layer runs vmapped over episodes,
+    #: where running-stat updates are ill-defined — file convention);
+    #: True restores reference running-stat eval (oracle tests)
+    use_running_statistics: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        b, u, v, h, w, c = x.shape
+        urs = self.use_running_statistics
+        pad = ((self.k // 2, self.k // 2),) * 2
+        # conv over (u, v), shared across (h, w) — reference conv2
+        y = x.transpose(0, 3, 4, 1, 2, 5).reshape(b * h * w, u, v, c)
+        y = nn.Conv(c, (self.k, self.k), padding=pad, use_bias=False,
+                    name="conv_uv")(y)
+        y = BatchNorm(use_running_statistics=urs, name="bn_uv")(y, train)
+        y = y.reshape(b, h, w, u, v, c).transpose(0, 3, 4, 1, 2, 5)
+        y = nn.relu(y)
+        # conv over (h, w), shared across (u, v) — reference conv1
+        z = y.reshape(b * u * v, h, w, c)
+        z = nn.Conv(c, (self.k, self.k), padding=pad, use_bias=False,
+                    name="conv_hw")(z)
+        z = BatchNorm(use_running_statistics=urs, name="bn_hw")(z, train)
+        if self.in_planes != self.out_planes:
+            z = nn.Conv(self.out_planes, (1, 1), use_bias=False,
+                        name="proj")(z)
+            z = BatchNorm(use_running_statistics=urs, name="bn_proj")(z, train)
+        return z.reshape(b, u, v, h, w, -1)
+
+
 class CCAModule(nn.Module):
-    """4-D correlation refinement convs (reference CCA, kernel [3,3],
-    planes [16, 1]) — separable convs over the (Hs,Ws) then (Hq,Wq) planes."""
+    """4-D correlation refinement (reference CCA, renet.py:29-57):
+    SepConv4d(1→16) → relu → SepConv4d(16→1), symmetrized as
+    ``f(x) + f(xᵀ)ᵀ`` (the support↔query plane transpose)."""
+
+    use_running_statistics: bool = False
 
     @nn.compact
     def __call__(self, corr, train: bool):
         # corr: [B, Hs, Ws, Hq, Wq]
-        b, hs, ws, hq, wq = corr.shape
-        x = corr.reshape(b, hs, ws, hq * wq).transpose(0, 3, 1, 2)
-        x = x.reshape(b * hq * wq, hs, ws, 1)
-        x = nn.relu(nn.Conv(16, (3, 3), padding="SAME", name="conv_s")(x))
-        x = x.reshape(b, hq * wq, hs, ws, 16)
-        x = x.transpose(0, 2, 3, 1, 4).reshape(b * hs * ws, hq, wq, 16)
-        x = nn.Conv(1, (3, 3), padding="SAME", name="conv_q")(x)
-        return x.reshape(b, hs, ws, hq, wq)
+        layer1 = SepConv4d(1, 16, name="sep1",
+                           use_running_statistics=self.use_running_statistics)
+        layer2 = SepConv4d(16, 1, name="sep2",
+                           use_running_statistics=self.use_running_statistics)
+
+        def f(x):
+            y = layer1(x[..., None], train)
+            y = nn.relu(y)
+            return layer2(y, train)[..., 0]
+
+        sym = jnp.transpose(corr, (0, 3, 4, 1, 2))
+        return f(corr) + jnp.transpose(f(sym), (0, 3, 4, 1, 2))
 
 
 class CCALayer(nn.Module):

@@ -173,3 +173,61 @@ def test_renet_scr_parity(rng):
     np.testing.assert_allclose(
         ref_out, np.asarray(mine).transpose(0, 3, 1, 2), atol=1e-4, rtol=1e-3
     )
+
+
+def test_renet_cca_parity(rng):
+    """RENet CCA 4-D refinement (SepConv4d stack + symmetrized pass,
+    renet.py:29-129) vs our CCAModule with converted weights in
+    running-stat eval mode."""
+    ref_mod = load_ref("libfewshot_core.model.finetuning.renet")
+    from audio_fewshot_tpu.models.heads.renet import CCAModule
+    import jax.numpy as jnp  # noqa: F811
+
+    u = v = h = w = 5
+    cca = ref_mod.CCA(kernel_sizes=[3, 3], planes=[16, 1]).eval()
+    for m in cca.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(m.running_mean.shape) * 0.2)
+                m.running_var.copy_(torch.rand(m.running_var.shape) + 0.5)
+                m.weight.copy_(torch.randn(m.weight.shape) * 0.3 + 1.0)
+                m.bias.copy_(torch.randn(m.bias.shape) * 0.2)
+
+    x = rng.normal(size=(2, 1, u, v, h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = cca(torch.from_numpy(x)).numpy()[:, 0]
+
+    def bn_tree(bn):
+        return (
+            {"BatchNorm_0": {"scale": jnp.asarray(_np(bn.weight)),
+                             "bias": jnp.asarray(_np(bn.bias))}},
+            {"BatchNorm_0": {"mean": jnp.asarray(_np(bn.running_mean)),
+                             "var": jnp.asarray(_np(bn.running_var))}},
+        )
+
+    params, stats = {}, {}
+    for name, sep in (("sep1", cca.conv[0]), ("sep2", cca.conv[2])):
+        p_uv, s_uv = bn_tree(sep.conv2[1])
+        p_hw, s_hw = bn_tree(sep.conv1[1])
+        params[name] = {
+            "conv_uv": {"kernel": jnp.asarray(
+                _np(sep.conv2[0].weight)[:, :, :, :, 0].transpose(2, 3, 1, 0))},
+            "bn_uv": p_uv,
+            "conv_hw": {"kernel": jnp.asarray(
+                _np(sep.conv1[0].weight)[:, :, 0].transpose(2, 3, 1, 0))},
+            "bn_hw": p_hw,
+        }
+        stats[name] = {"bn_uv": s_uv, "bn_hw": s_hw}
+        if sep.isproj:
+            p_pr, s_pr = bn_tree(sep.proj[1])
+            params[name]["proj"] = {"kernel": jnp.asarray(
+                _np(sep.proj[0].weight).transpose(2, 3, 1, 0))}
+            params[name]["bn_proj"] = p_pr
+            stats[name]["bn_proj"] = s_pr
+
+    mod = CCAModule(use_running_statistics=True)
+    mine = mod.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x[:, 0]), train=False,
+    )
+    np.testing.assert_allclose(ref_out, np.asarray(mine), atol=1e-4, rtol=1e-3)
