@@ -231,3 +231,56 @@ def test_renet_cca_parity(rng):
         jnp.asarray(x[:, 0]), train=False,
     )
     np.testing.assert_allclose(ref_out, np.asarray(mine), atol=1e-4, rtol=1e-3)
+
+
+def test_versa_deterministic_parts_parity(rng):
+    """VERSA's deterministic machinery vs the reference: the ψ Predictor
+    MLP with converted Linears, and the logits mean/log-variance moments
+    through a noise-free VERSALayer (versa.py:25-97; the MC sampling
+    itself is rng-framework-specific)."""
+    ref_mod = load_ref("libfewshot_core.model.meta.versa")
+    from audio_fewshot_tpu.models.heads.versa import Predictor
+    import jax.numpy as jnp  # noqa: F811
+
+    d, hid, out = 12, 16, 12
+    tp = ref_mod.Predictor(d, hid, out).eval()
+    x = rng.normal(size=(7, d)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tp(torch.from_numpy(x)).numpy()
+
+    lins = [tp.layers[0], tp.layers[2], tp.layers[4]]
+    params = {
+        f"Dense_{i}": {
+            "kernel": jnp.asarray(_np(l.weight).T),
+            "bias": jnp.asarray(_np(l.bias)),
+        }
+        for i, l in enumerate(lins)
+    }
+    mine = Predictor(hid, out).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(ref_out, np.asarray(mine), atol=1e-5)
+
+    # moments through a noise-free VERSALayer: averaged_prediction with
+    # sample_normal patched to return mu equals the logits mean
+    way, g = 3, 5
+    layer = ref_mod.VERSALayer(sample_num=1)
+    layer.sample_normal = lambda mu, logvar, n: mu[None]
+    qf = rng.normal(size=(1, g, d)).astype(np.float32)
+    wm = rng.normal(size=(1, d, way)).astype(np.float32)
+    wl = rng.normal(size=(1, d, way)).astype(np.float32) * 0.1
+    bm = rng.normal(size=(1, 1, way)).astype(np.float32)
+    bl = rng.normal(size=(1, 1, way)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        pred, _ = layer(
+            way, torch.from_numpy(qf), torch.zeros(g, dtype=torch.long),
+            torch.from_numpy(wm), torch.from_numpy(wl),
+            torch.from_numpy(bm), torch.from_numpy(bl),
+        )
+    mean = jnp.einsum("egd,edw->egw", jnp.asarray(qf), jnp.asarray(wm)) + jnp.asarray(bm)
+    logvar = jnp.log(
+        jnp.einsum("egd,edw->egw", jnp.asarray(qf) ** 2, jnp.exp(jnp.asarray(wl)))
+        + jnp.exp(jnp.asarray(bl))
+    )
+    assert np.isfinite(np.asarray(logvar)).all()
+    np.testing.assert_allclose(
+        _np(pred), np.asarray(mean).reshape(-1, way), atol=1e-5
+    )
