@@ -32,6 +32,39 @@ from .utils import (
 )
 
 
+def resolve_tta_stats(cfg: Dict[str, Any], logger) -> Tuple[float, float]:
+    """De/re-normalization stats for the energy-OOD TTA pass.
+
+    The reference always loads the CLEAN stats here, regardless of the
+    config's ``mean_std_file`` (test.py:397-398 hard-codes
+    ``./Auxiliary/Clean_Mean_Std.npy``).  If the file is absent we fail
+    loudly — silently substituting the config's own stats changes the
+    de/re-norm semantics — unless the user explicitly opts into the
+    fallback with ``tta_allow_config_stats: true``.
+    """
+    from .data import get_mean_std
+    from .data.dataset import load_mean_std
+
+    clean = cfg.get("tta_mean_std_file", "./Auxiliary/Clean_Mean_Std.npy")
+    if clean and os.path.isfile(clean):
+        return load_mean_std(clean)
+    if cfg.get("tta_allow_config_stats", False):
+        logger.warning(
+            "Clean stats %s not found — TTA falls back to the config's "
+            "mean_std_file (tta_allow_config_stats=True)", clean,
+        )
+        return get_mean_std(cfg, "test")
+    raise FileNotFoundError(
+        f"energy-OOD TTA requires the Clean normalization stats "
+        f"({clean!r} not found). The reference hard-codes "
+        f"./Auxiliary/Clean_Mean_Std.npy for the de/re-norm step "
+        f"(test.py:397-398); falling back to the config's own stats would "
+        f"silently change semantics. Provide the file (tools/make_assets.py "
+        f"regenerates it), point tta_mean_std_file at it, or set "
+        f"tta_allow_config_stats: true to opt into the fallback."
+    )
+
+
 class Test:
     def __init__(self, rank: int, config: Dict[str, Any], result_path: Optional[str] = None):
         from .train import enable_compilation_cache
@@ -216,21 +249,7 @@ class Test:
             )
             self.logger.info("uncertainty threshold: %s", th)
         if energy:
-            # TTA de/re-normalization stats — the reference always loads the
-            # CLEAN stats here, regardless of the config's mean_std_file
-            # (test.py:397-398 hard-codes ./Auxiliary/Clean_Mean_Std.npy)
-            from .data import get_mean_std
-            from .data.dataset import load_mean_std
-
-            clean = cfg.get("tta_mean_std_file", "./Auxiliary/Clean_Mean_Std.npy")
-            if clean and os.path.isfile(clean):
-                self.tta_mean, self.tta_std = load_mean_std(clean)
-            else:
-                self.logger.warning(
-                    "Clean stats %s not found — TTA falls back to the "
-                    "config's mean_std_file", clean,
-                )
-                self.tta_mean, self.tta_std = get_mean_std(cfg, "test")
+            self.tta_mean, self.tta_std = resolve_tta_stats(cfg, self.logger)
             self.logger.info(
                 "energy-OOD TTA enabled: %d augmentations, top %.0f%% flagged",
                 self.num_augmentations, 100 * self.method.ood_fraction,
