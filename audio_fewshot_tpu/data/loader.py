@@ -517,7 +517,7 @@ def get_dataloader(
 
     buckets = config.get("segment_bucket_sizes")
     n_loaders = int(config.get("dataloader_num", 1)) if mode == "train" else 1
-    return [
+    loaders: List[Any] = [
         EpisodicLoader(
             dataset,
             way=way,
@@ -526,10 +526,22 @@ def get_dataloader(
             episodes_per_epoch=episodes,
             episode_size=int(config.get("episode_size", 1)),
             mode=mode,
-            seed=seed + 1000 * _SPLIT_INDEX[mode] + i,
+            seed=seed + 1000 * _SPLIT_INDEX[mode],
             segment_bucket_sizes=tuple(buckets) if buckets else None,
             prefetch=int(config.get("prefetch", 2)),
             augment_times=augment_times,
         )
-        for i in range(n_loaders)
     ]
+    # dataloader_num 2 for an episodic method = [episodic, global-flat]:
+    # the reference zips both into ONE train step (trainer.py:159-188) and
+    # RENet consumes (ep_images, ep_global_targets, g_images,
+    # g_global_targets) (renet.py:409-415, config/renet.yaml:78) — its
+    # auxiliary CE trains the global fc head on flat batches.  The flat
+    # loader shares the episodic loader's dataset (one segment bank).
+    for i in range(1, n_loaders):
+        loaders.append(
+            FlatLoader(
+                dataset, int(config.get("batch_size", 128)), seed=seed + i
+            )
+        )
+    return loaders

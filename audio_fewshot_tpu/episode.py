@@ -17,7 +17,7 @@ one-hot matmuls — MXU work instead of host loops.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -71,6 +71,20 @@ class FlatBatch:
 
     data: jnp.ndarray  # [B, C, F, T]
     target: jnp.ndarray  # [B]
+
+
+@struct.dataclass
+class DualBatch:
+    """One train step's paired (episodic, global-flat) batches.
+
+    Reference: with ``dataloader_num: 2`` the trainer zips both loaders into
+    ONE model call (trainer.py:159-188) and RENet unpacks
+    ``(ep_images, ep_global_targets, g_images, g_global_targets)``
+    (renet.py:409-415).  Each part may be the indexed (bank) twin of its
+    payload form; ``episode.materialize_*`` handles both."""
+
+    episode: Any  # EpisodeBatch | IndexedEpisodeBatch
+    flat: Any  # FlatBatch | IndexedFlatBatch
 
 
 def local_targets(way: int, count_per_way: int) -> np.ndarray:

@@ -210,17 +210,19 @@ class RENet(MethodBase):
     needs_feature_map = True
 
     def __init__(self, emb_func, feat_dim: int = 640, num_class: int = 25,
+                 num_classes: Optional[int] = None,
                  lambda_epi: float = 0.25, temperature: float = 0.2,
                  temperature_attn: float = 5.0, **kwargs):
         super().__init__(emb_func, **kwargs)
         self.lambda_epi = lambda_epi
-        self.num_class = num_class
+        # the reference kwarg is ``num_classes`` (renet.py:347) — honor it
+        self.num_class = num_classes if num_classes is not None else num_class
         self.modules["scr"] = SCRLayer()
         self.modules["cca"] = CCALayer(
             feat_dim=feat_dim, temperature=temperature,
             temperature_attn=temperature_attn,
         )
-        self.modules["fc"] = nn.Dense(num_class)
+        self.modules["fc"] = nn.Dense(self.num_class)
 
     def _init_head(self, variables, rngs, feats, example_batch, setting):
         c, h, w = feats.shape[1:]
@@ -258,6 +260,18 @@ class RENet(MethodBase):
         return jax.vmap(fn)(sup, qry)
 
     def loss(self, variables, batch, setting, rng):
+        """``loss = λ_epi·epi + abs + aux`` (reference renet.py:441-447):
+        episodic CE over the CCA similarities, the *absolute* global CE on
+        the pooled query features, and — when the second (global flat)
+        dataloader is paired in (``dataloader_num: 2``,
+        config/renet.yaml:78, trainer.py:159-188) — the auxiliary global CE
+        ``CE(fc(GAP(encode(g_images))), g_global_targets)``."""
+        from ...episode import DualBatch
+
+        flat = None
+        if isinstance(batch, DualBatch):
+            flat = batch.flat
+            batch = batch.episode
         sup, qry, updates = self._refined(variables, batch, setting, True, rng)
         sims, qry_pooled = self._episode_sims(
             variables, sup, qry, setting.way, setting.shot, True, rng
@@ -265,18 +279,51 @@ class RENet(MethodBase):
         epi_loss = masked_cross_entropy(sims, segment_targets(batch), batch.query_mask)
 
         loss = self.lambda_epi * epi_loss
-        if batch.global_target is not None:
-            g_qry = batch.global_target[:, sup.shape[1]:]
-            logits_aux = self.modules["fc"].apply(
-                {"params": variables["params"]["fc"]}, qry_pooled
+        if batch.global_target is None:
+            raise ValueError(
+                "RENet training requires global targets for its absolute "
+                "global CE (reference renet.py:440-441) — the episodic "
+                "loader must populate EpisodeBatch.global_target"
             )
-            # pad/gather: global targets are per-clip; dense train batches
-            # have one segment per clip so shapes line up
-            if logits_aux.shape[:2] == g_qry.shape:
-                aux = cross_entropy(
-                    logits_aux.reshape(-1, self.num_class), g_qry.reshape(-1)
-                )
-                loss = loss + aux
+        g_qry = batch.global_target[:, sup.shape[1]:]
+        logits_abs = self.modules["fc"].apply(
+            {"params": variables["params"]["fc"]}, qry_pooled
+        )
+        # global targets are per-clip; train batches are dense (one segment
+        # per clip) so the pooled-query and target layouts must line up —
+        # a silent skip here would train without the abs term and without
+        # a sound (same convention as heads/can.py)
+        if logits_abs.shape[:2] != g_qry.shape:
+            raise ValueError(
+                f"RENet abs loss layout mismatch: pooled query logits "
+                f"{logits_abs.shape[:2]} vs global query targets "
+                f"{g_qry.shape} — RENet trains on dense episodic batches "
+                f"(one segment per clip; reference renet.py:420-441)"
+            )
+        loss = loss + cross_entropy(
+            logits_abs.reshape(-1, self.num_class), g_qry.reshape(-1)
+        )
+
+        if flat is not None:
+            # auxiliary global CE over the flat batch, through the same
+            # encode (emb_func → SCR residual) and fc (renet.py:443-447)
+            g_feat, upd_g = self.apply_module(
+                variables, "emb_func", flat.data, train=True, rng=rng
+            )
+            g_ref, upd_s = self.apply_module(
+                variables, "scr", g_feat.transpose(0, 2, 3, 1), train=True,
+                rng=rng,
+            )
+            g_pooled = g_ref.mean(axis=(1, 2))  # GAP over (h, w) — NHWC
+            logits_aux = self.modules["fc"].apply(
+                {"params": variables["params"]["fc"]}, g_pooled
+            )
+            loss = loss + cross_entropy(
+                logits_aux.reshape(-1, self.num_class),
+                flat.target.reshape(-1),
+            )
+            updates = self.merge_updates({}, updates, upd_g, upd_s) \
+                if (updates or upd_g or upd_s) else None
         return loss, LossOutput(
             seg_logits=sims,
             metrics=self.train_metrics(sims, batch),

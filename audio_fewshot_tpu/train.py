@@ -277,26 +277,47 @@ class Trainer:
         """Random spectrogram augmentation on device — one augmentation type
         per step (scalar switch outside the vmap; see
         ops/audio_augmentations.augment_batch_one_type)."""
+        from .episode import DualBatch
         from .ops.audio_augmentations import augment_batch_one_type
 
-        k_sup, k_qry = jax.random.split(rng)
+        k_sup, k_qry, k_flat = jax.random.split(rng, 3)
 
         def aug(x, key):
             flat = x.reshape((-1,) + x.shape[2:])
             out = augment_batch_one_type(key, flat, self.aug_mean, self.aug_std)
             return out.reshape(x.shape)
 
+        if isinstance(batch, DualBatch):
+            ep = batch.episode.replace(
+                support=aug(batch.episode.support, k_sup),
+                query=aug(batch.episode.query, k_qry),
+            )
+            g = batch.flat.replace(
+                data=augment_batch_one_type(
+                    k_flat, batch.flat.data, self.aug_mean, self.aug_std
+                )
+            )
+            return DualBatch(episode=ep, flat=g)
         return batch.replace(
             support=aug(batch.support, k_sup), query=aug(batch.query, k_qry)
         )
 
     def _train_step(self, variables, opt_state, batch, bank, lr_groups, rng,
                     setting: EpisodeSetting):
-        from .episode import materialize_episode_batch, materialize_flat_batch
+        from .episode import (
+            DualBatch,
+            materialize_episode_batch,
+            materialize_flat_batch,
+        )
         from .parallel.mesh import upcast_floats
 
         if bank is not None:
-            if hasattr(batch, "data_idx"):
+            if isinstance(batch, DualBatch):
+                batch = DualBatch(
+                    episode=materialize_episode_batch(batch.episode, bank),
+                    flat=materialize_flat_batch(batch.flat, bank),
+                )
+            elif hasattr(batch, "data_idx"):
                 batch = materialize_flat_batch(batch, bank)
             else:
                 batch = materialize_episode_batch(batch, bank)
@@ -382,7 +403,24 @@ class Trainer:
         profile_dir = os.path.join(self.log_dir, "profile")
 
         def host_batches():
-            for batches in zip(*[ld.epoch(epoch) for ld in self.train_loader]):
+            iters = [ld.epoch(epoch) for ld in self.train_loader]
+            if len(iters) == 1:
+                yield from iters[0]
+                return
+            # dataloader_num 2 with a global-flat companion loader: the
+            # reference zips both loaders into ONE model call per step
+            # (trainer.py:159-188, ``zip(*self.train_loader)``) — RENet's
+            # auxiliary global CE consumes the flat half (renet.py:409-447)
+            from .data.loader import FlatLoader
+            from .episode import DualBatch
+
+            if isinstance(self.train_loader[1], FlatLoader) and not isinstance(
+                self.train_loader[0], FlatLoader
+            ):
+                for ep_b, g_b in zip(*iters[:2]):
+                    yield DualBatch(episode=ep_b, flat=g_b)
+                return
+            for batches in zip(*iters):
                 yield from batches
 
         def device_batches():

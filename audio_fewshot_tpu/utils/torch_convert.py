@@ -281,6 +281,129 @@ _CONVERTERS = {
 }
 
 
+# -- inverse (flax → torch) conversion ---------------------------------------
+#
+# The migration path in the other direction: our trained variable trees →
+# reference state dicts, so the SAME weights can be driven through the
+# reference's ``set_forward`` for end-to-end cross-framework parity (the
+# "within 0.5 pts" target measured literally).  Each inverse mirrors its
+# forward converter above; correctness is pinned by round-trip tests
+# (torch → flax → torch reproduces every tensor bit-exactly).
+
+
+def _inv_conv_w(w: np.ndarray) -> np.ndarray:
+    """flax Conv [kh,kw,I,O] → torch Conv2d [O,I,kh,kw]."""
+    return np.ascontiguousarray(np.asarray(w).transpose(3, 2, 0, 1))
+
+
+def _inv_lin_w(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(1, 0))
+
+
+def _inv_bn(state: Dict[str, np.ndarray], key: str, params: Dict, stats: Dict) -> None:
+    state[key + ".weight"] = np.asarray(params["scale"])
+    state[key + ".bias"] = np.asarray(params["bias"])
+    state[key + ".running_mean"] = np.asarray(stats["mean"])
+    state[key + ".running_var"] = np.asarray(stats["var"])
+    state[key + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _invert_convnf(params, stats, state):
+    for i in range(1, 5):
+        seq = f"layer{i}"
+        state[f"{seq}.0.weight"] = _inv_conv_w(params[seq]["Conv_0"]["kernel"])
+        if "bias" in params[seq]["Conv_0"]:
+            state[f"{seq}.0.bias"] = np.asarray(params[seq]["Conv_0"]["bias"])
+        _inv_bn(
+            state, f"{seq}.1",
+            params[seq]["BatchNorm_0"]["BatchNorm_0"],
+            stats[seq]["BatchNorm_0"]["BatchNorm_0"],
+        )
+    if "logits_dense" in params:
+        _inv_bn(
+            state, "logits.1",
+            params["logits_bn"]["BatchNorm_0"], stats["logits_bn"]["BatchNorm_0"],
+        )
+        state["logits.2.weight"] = _inv_lin_w(params["logits_dense"]["kernel"])
+        state["logits.2.bias"] = np.asarray(params["logits_dense"]["bias"])
+
+
+def _invert_resnet12(params, stats, state):
+    for i in range(1, 5):
+        blk = f"layer{i}.0"
+        p, s = params[f"layer{i}"], stats[f"layer{i}"]
+        for j in range(1, 4):
+            state[f"{blk}.conv{j}.weight"] = _inv_conv_w(p[f"conv{j}"]["kernel"])
+            _inv_bn(
+                state, f"{blk}.bn{j}",
+                p[f"bn{j}"]["BatchNorm_0"], s[f"bn{j}"]["BatchNorm_0"],
+            )
+        if "downsample_conv" in p:
+            state[f"{blk}.downsample.0.weight"] = _inv_conv_w(
+                p["downsample_conv"]["kernel"]
+            )
+            _inv_bn(
+                state, f"{blk}.downsample.1",
+                p["downsample_bn"]["BatchNorm_0"], s["downsample_bn"]["BatchNorm_0"],
+            )
+
+
+def _invert_resnet12bdc(params, stats, state):
+    _invert_resnet12(params, stats, state)
+    head_p, head_s = params["bdc_pool"], stats.get("bdc_pool", {})
+    if "reduce_conv" in head_p:
+        state["bdc_pool.conv_dr_block.0.weight"] = _inv_conv_w(
+            head_p["reduce_conv"]["kernel"]
+        )
+        _inv_bn(
+            state, "bdc_pool.conv_dr_block.1",
+            head_p["reduce_bn"]["BatchNorm_0"], head_s["reduce_bn"]["BatchNorm_0"],
+        )
+    state["bdc_pool.temperature"] = np.asarray(head_p["log_temperature"])
+
+
+_INVERTERS = {
+    "Conv64F": _invert_convnf,
+    "Conv32F": _invert_convnf,
+    "resnet12": _invert_resnet12,
+    "resnet12woLSC": _invert_resnet12,
+    "resnet12Bdc": _invert_resnet12bdc,
+}
+
+
+def invert_backbone_params(
+    variables: Dict[str, Any], backbone_name: str, prefix: str = "emb_func."
+) -> Dict[str, np.ndarray]:
+    """Map our backbone variable tree → a reference torch state dict.
+
+    ``variables`` is either the full tree (``{"params": {"emb_func": ...},
+    "batch_stats": {...}}``) or an already-sliced backbone tree
+    (``{"params": ..., "batch_stats": ...}``).  Keys get ``prefix`` so the
+    dict loads into a full reference model's ``emb_func`` (pass ``""`` for a
+    bare backbone module)."""
+    if backbone_name not in _INVERTERS:
+        raise KeyError(
+            f"no inverse converter for backbone {backbone_name!r}; "
+            f"supported: {sorted(_INVERTERS)}"
+        )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if "emb_func" in params:
+        params = params["emb_func"]
+        stats = stats.get("emb_func", {})
+    state: Dict[str, np.ndarray] = {}
+    _INVERTERS[backbone_name](
+        jax_tree_to_numpy(params), jax_tree_to_numpy(stats), state
+    )
+    return {prefix + k: v for k, v in state.items()}
+
+
+def jax_tree_to_numpy(tree: Any) -> Any:
+    import jax
+
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 def convert_backbone_state_dict(
     state: Dict[str, np.ndarray],
     backbone_name: str,
