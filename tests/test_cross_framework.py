@@ -1,0 +1,236 @@
+"""Trained-weight cross-framework end-to-end parity (VERDICT r2 item 1).
+
+The literal "within 0.5 pts" target: train a model HERE, map the weights
+into the torch reference with ``utils.torch_convert.invert_backbone_params``,
+drive the reference's ``set_forward`` (proto_net.py:80-113,
+deepbdc.py:272-319) over the SAME episodes, and compare clip accuracy and
+per-segment logits.  The full-scale fixture protocol lives in
+``tools/cross_framework_parity.py`` (this suite runs a reduced-geometry
+version of the identical mechanism).
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+import cross_framework_parity as cfp  # noqa: E402
+
+from ref_loader import load_ref  # noqa: E402
+
+from audio_fewshot_tpu.models.backbones import BACKBONES  # noqa: E402
+from audio_fewshot_tpu.utils.torch_convert import (  # noqa: E402
+    convert_backbone_state_dict,
+    invert_backbone_params,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _randomize_bn(torch_mod):
+    for m in torch_mod.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.6, 1.6)
+
+
+# -- inverse-converter round trips -------------------------------------------
+
+
+@pytest.mark.parametrize("backbone,ref_mod,ref_name,kwargs,x_shape", [
+    ("Conv64F", "libfewshot_core.model.backbone.conv_four", "Conv64F",
+     {"num_channels": 1, "maxpool_last2": False, "last_pool": True,
+      "is_flatten": False}, (2, 1, 32, 30)),
+    ("resnet12Bdc", "libfewshot_core.model.backbone.resnet_bdc",
+     "resnet12Bdc", {"num_channels": 1, "drop_rate": 0.0, "reduce_dim": 16},
+     (2, 1, 32, 30)),
+])
+def test_inverse_converter_round_trip(rng, backbone, ref_mod, ref_name,
+                                      kwargs, x_shape):
+    """torch state → flax tree (forward converter) → torch state (inverse)
+    must reproduce every converted tensor bit-exactly."""
+    tm = getattr(load_ref(ref_mod), ref_name)(**kwargs).eval()
+    _randomize_bn(tm)
+    x = rng.normal(size=x_shape).astype(np.float32)
+
+    fkwargs = {k: v for k, v in kwargs.items()}
+    fm = BACKBONES.build(backbone, dtype=jnp.float32, **fkwargs)
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    converted = convert_backbone_state_dict(state, backbone, template)
+
+    back = invert_backbone_params(converted, backbone, prefix="")
+    for k, v in back.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        assert k in state, f"inverse emitted unknown key {k}"
+        np.testing.assert_array_equal(
+            v, state[k], err_msg=f"round-trip drift at {k}"
+        )
+    # every converted parameter must come back (BN bookkeeping aside)
+    missing = {
+        k for k in state
+        if not k.endswith("num_batches_tracked")
+        and not k.startswith("logits.")  # unused unless is_flatten
+        and not k.startswith("classifier.")  # reference-internal head
+        and k not in back
+    }
+    assert not missing, f"inverse converter dropped {sorted(missing)[:5]}"
+
+
+# -- episode-layout conversion ------------------------------------------------
+
+
+def test_episode_batch_to_reference_layout():
+    """The flat (image, target, repeats, support_size) conversion reproduces
+    the reference's per-(episode, way) [support | query-segments] layout
+    (abstract_model.py:231-292)."""
+    from audio_fewshot_tpu.episode import pack_ragged_episode_batch
+
+    way, shot, query = 2, 1, 2
+    e = 2
+    rng = np.random.default_rng(3)
+    reps = rng.integers(1, 4, size=(e * way * query,))
+    sup = np.arange(e * way * shot * 4, dtype=np.float32).reshape(
+        e, way * shot, 1, 2, 2
+    )
+    segs = np.stack([
+        np.full((1, 2, 2), i, np.float32) for i in range(int(reps.sum()))
+    ])
+    batch = pack_ragged_episode_batch(sup, segs, reps, way, shot, query)
+
+    images, _, repeats, support_size = cfp.episode_batch_to_reference(
+        batch, way, shot, query
+    )
+    assert support_size == e * way * shot
+    np.testing.assert_array_equal(repeats, reps)
+    assert images.shape[0] == e * way * shot + int(reps.sum())
+    # walk the layout: per (episode, way): shot support rows then that way's
+    # query segments in clip order
+    reps_2d = reps.reshape(e, way * query)
+    pos = 0
+    seg_counter = 0
+    for i in range(e):
+        for w in range(way):
+            np.testing.assert_array_equal(
+                images[pos : pos + shot], sup[i, w * shot : (w + 1) * shot]
+            )
+            pos += shot
+            n_w = int(reps_2d[i, w * query : (w + 1) * query].sum())
+            np.testing.assert_array_equal(
+                images[pos : pos + n_w].ravel(),
+                np.repeat(
+                    np.arange(seg_counter, seg_counter + n_w, dtype=np.float32), 4
+                ),
+            )
+            pos += n_w
+            seg_counter += n_w
+
+
+# -- end-to-end trained parity ------------------------------------------------
+
+
+def _train_ours(tmp_path, classifier, backbone, backbone_kwargs, cls_kwargs,
+                way=3, shot=2, query=3, epochs=2, train_episode=12):
+    from audio_fewshot_tpu.train import Trainer
+
+    config = {
+        "data_root": "synthetic:8:10",
+        "spec_shape": (1, 32, 30),
+        "modality": "audio",
+        "mean_std_file": None,
+        "backbone": {"name": backbone, "kwargs": backbone_kwargs},
+        "classifier": {"name": classifier, "kwargs": cls_kwargs},
+        "optimizer": {"name": "Adam", "kwargs": {"lr": 3e-3}, "other": None},
+        "lr_scheduler": {"name": "StepLR", "kwargs": {"gamma": 1.0, "step_size": 10}},
+        "way_num": way, "shot_num": shot, "query_num": query,
+        "test_way": way, "test_shot": shot, "test_query": query,
+        "episode_size": 2, "train_episode": train_episode, "test_episode": 50,
+        "epoch": epochs, "test_epoch": 1, "val_per_epoch": 10,
+        "save_interval": 100, "save_part": ["emb_func"],
+        "log_interval": 1000, "seed": 0, "precision": "fp32",
+        "result_root": str(tmp_path), "prefetch": 0,
+        "warmup": 0, "augment_times": 1,
+        "max_segments_per_clip": 3,
+        "device_data_bank": False,
+        "n_devices": 1,
+    }
+    trainer = Trainer(0, config)
+    trainer.train_loop(0)
+    return trainer, config
+
+
+def _cross_check(trainer, config, n_batches, atol):
+    from audio_fewshot_tpu.data import get_dataloader
+
+    variables = jax.device_get(trainer.variables)
+    loader = get_dataloader(
+        dict(config, device_data_bank=False), "test",
+        trainer.method.model_type, False, "audio",
+    )[0]
+    batches = [b for _, b in zip(range(n_batches), loader.epoch(1))]
+    setting = trainer.eval_setting
+
+    ours_logits, ours_accs = cfp.run_ours_eval(
+        trainer.method, variables, batches, setting
+    )
+
+    state = invert_backbone_params(variables, config["backbone"]["name"])
+    model = cfp.build_reference_model(
+        config["classifier"]["name"], config["backbone"]["name"],
+        dict(config["backbone"]["kwargs"] or {}),
+        setting.way, setting.shot, setting.query, state,
+    )
+    ref_logits, ref_accs = cfp.run_reference_eval(
+        model, batches, setting.way, setting.shot, setting.query
+    )
+    row = cfp.compare(
+        ours_logits, ref_logits, ours_accs, ref_accs,
+        config["classifier"]["name"],
+    )
+    assert row["acc_diff"] <= 0.5, row
+    assert row["rel_logit_diff"] <= atol, row
+    assert row["segment_pred_agreement"] >= 0.999, row
+    return row
+
+
+@pytest.mark.slow
+def test_e2e_protonet_trained_parity(tmp_path):
+    """Trained ProtoNet/Conv64F: our eval vs the reference set_forward on
+    identical ragged episodes — accuracy within 0.5 pts (it is ~0: the
+    logits agree to float precision)."""
+    # is_flatten engages the 1600-d logits projection head; the reference
+    # hard-codes its input width to 64·⌊128/3⁴⌋·⌊157/3⁴⌋ = 64
+    # (conv_four.py:87-92) — the (1,32,30) spec with maxpool_last2 off
+    # reaches the same 64-wide flatten, so the heads align exactly
+    trainer, config = _train_ours(
+        tmp_path, "ProtoNet", "Conv64F",
+        {"is_flatten": True, "last_pool": True, "maxpool_last2": False,
+         "num_channels": 1},
+        None,
+    )
+    row = _cross_check(trainer, config, n_batches=25, atol=1e-4)
+    assert row["episodes"] == 50
+
+
+@pytest.mark.slow
+def test_e2e_deepbdc_trained_parity(tmp_path):
+    """Trained DeepBDC/resnet12Bdc (flagship): same protocol."""
+    trainer, config = _train_ours(
+        tmp_path, "DeepBDC", "resnet12Bdc",
+        {"num_channels": 1, "drop_rate": 0.0, "reduce_dim": 16},
+        None,
+        epochs=1, train_episode=6,
+    )
+    _cross_check(trainer, config, n_batches=8, atol=1e-3)

@@ -139,9 +139,15 @@ def build_reference_model(
     sd = {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}
     missing, unexpected = model.load_state_dict(sd, strict=False)
     # only non-parameter bookkeeping may be absent; any real weight mismatch
-    # is a conversion bug — fail loudly
+    # is a conversion bug — fail loudly.  The reference Conv64F constructs
+    # its 1600-d ``logits`` projection unconditionally but applies it only
+    # when is_flatten (conv_four.py:87-92,117-119) — absent from our tree
+    # when unused.
+    converted_logits_head = any(".logits." in k for k in state_dict)
     real_missing = [
-        m for m in missing if not m.endswith("num_batches_tracked")
+        m for m in missing
+        if not m.endswith("num_batches_tracked")
+        and not (".logits." in m and not converted_logits_head)
     ]
     if real_missing or unexpected:
         raise KeyError(
@@ -212,14 +218,16 @@ def compare(
     ref_cat = np.concatenate(ref_logits, axis=0)
     assert ours_cat.shape == ref_cat.shape, (ours_cat.shape, ref_cat.shape)
     max_abs = float(np.max(np.abs(ours_cat - ref_cat)))
+    # euclid logits have magnitude ~‖feat‖² — scale-relative drift is the
+    # meaningful fp32 cross-framework comparison
+    rel = float(max_abs / max(np.max(np.abs(ref_cat)), 1e-6))
     # prediction agreement per segment
     agree = float(
         np.mean(np.argmax(ours_cat, -1) == np.argmax(ref_cat, -1))
     )
     acc_ours = float(np.mean(ours_accs))
-    acc_ref = float(np.mean(ref_accs)) * (
-        100.0 if np.mean(ref_accs) <= 1.0 else 1.0
-    )
+    # vote_catagorical_acc already returns percent (utils.py:432-433)
+    acc_ref = float(np.mean(ref_accs))
     row = {
         "method": label,
         "episodes": len(ours_accs),
@@ -227,6 +235,7 @@ def compare(
         "acc_ref": acc_ref,
         "acc_diff": abs(acc_ours - acc_ref),
         "max_abs_logit_diff": max_abs,
+        "rel_logit_diff": rel,
         "segment_pred_agreement": agree,
     }
     return row
