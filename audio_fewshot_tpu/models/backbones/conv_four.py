@@ -65,7 +65,17 @@ class ConvNF(nn.Module):
         if self.is_flatten:
             flat = out4.reshape(out4.shape[0], -1)
             flat = nn.Dropout(0.3, deterministic=not train)(flat)
-            flat = BatchNorm(use_running_statistics=True, name="logits_bn")(flat, train)
+            # the reference builds this BN1d with default
+            # track_running_stats=True (conv_four.py:90) — standard
+            # semantics — but honoring the module flag matters for the
+            # MAML family, whose inner loop keeps every BN in batch-stat
+            # mode (set_forward_adaptation calls .train(); build_method
+            # forces use_running_statistics=False there — torch oracle:
+            # tests/test_maml_oracle.py)
+            flat = BatchNorm(
+                use_running_statistics=self.use_running_statistics,
+                name="logits_bn",
+            )(flat, train)
             out4 = nn.Dense(self.logits_dim, name="logits_dense")(flat)
 
         if self.is_feature:

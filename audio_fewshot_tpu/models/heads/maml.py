@@ -85,8 +85,36 @@ class MAMLBase(MethodBase):
     # -- inner loop ---------------------------------------------------------
 
     def _adaptable(self, params: Dict[str, Any]) -> Dict[str, Any]:
-        """Subtree of params the inner loop updates (override per method)."""
-        return params
+        """Subtree of params the inner loop updates.
+
+        All parameters EXCEPT a Conv64F logits-head BatchNorm1d's
+        scale/bias: the reference's ``convert_maml_module`` swaps only
+        Conv2d/Linear/BatchNorm2d for fast-weight twins
+        (maml_module.py:111-146), so the BatchNorm1d inside Conv64F's
+        1600-d projection head (conv_four.py:87-92 — present in every
+        shipped MAML config, config/classifiers/MAML.yaml is_flatten=True)
+        keeps reading its ORIGINAL weight/bias during the inner loop —
+        effectively frozen.  Pinned by the torch oracle
+        (tests/test_maml_oracle.py)."""
+        emb = params.get("emb_func", {})
+        if "logits_bn" not in emb:
+            return params
+        return {
+            **{k: v for k, v in params.items() if k != "emb_func"},
+            "emb_func": {k: v for k, v in emb.items() if k != "logits_bn"},
+        }
+
+    @staticmethod
+    def _merge_adapted(full: Dict[str, Any], adapted: Dict[str, Any]) -> Dict[str, Any]:
+        """Overlay the (possibly partial) adapted subtree onto the full
+        params — one nested level is enough (submodule → child trees)."""
+        out = dict(full)
+        for k, sub in adapted.items():
+            if isinstance(sub, dict) and isinstance(full.get(k), dict):
+                out[k] = {**full[k], **sub}
+            else:
+                out[k] = sub
+        return out
 
     def _inner_lr_tree(self, adaptable: Dict[str, Any]):
         return jax.tree_util.tree_map(lambda _: self.inner_lr, adaptable)
@@ -95,11 +123,12 @@ class MAMLBase(MethodBase):
         """One episode: adapt on support, return query logits.  All inputs
         are single-episode ([WS,...], [WS], [G,...]) — vmapped by callers."""
         adaptable = self._adaptable(params)
-        frozen = {k: v for k, v in params.items() if k not in adaptable}
         lr_tree = self._inner_lr_tree(adaptable)
 
         def support_loss(adapt_p):
-            logits, _ = self._net({**frozen, **adapt_p}, batch_stats, sup_x)
+            logits, _ = self._net(
+                self._merge_adapted(params, adapt_p), batch_stats, sup_x
+            )
             return _ce(logits, sup_y)
 
         def sgd_step(adapt_p, _):
@@ -110,7 +139,9 @@ class MAMLBase(MethodBase):
             return new_p, None
 
         adapted, _ = jax.lax.scan(sgd_step, adaptable, None, length=n_steps)
-        logits, _ = self._net({**frozen, **adapted}, batch_stats, qry_x)
+        logits, _ = self._net(
+            self._merge_adapted(params, adapted), batch_stats, qry_x
+        )
         return logits
 
     # -- method API ---------------------------------------------------------
@@ -145,10 +176,38 @@ class MAML(MAMLBase):
 @CLASSIFIERS.register("ANIL")
 class ANIL(MAMLBase):
     """Head-only adaptation with frozen, precomputed features (reference
-    anil.py:122-146) — the backbone runs ONCE per episode batch."""
+    anil.py:122-146) — the backbone runs ONCE per episode batch.
+
+    Unlike MAML/BOIL, the reference converts ONLY the classifier to fast
+    weights (anil.py:65 ``convert_maml_module(self.classifier)``); the
+    backbone keeps standard BatchNorm — running statistics at eval — so
+    the batch-stat force does not apply here (torch oracle:
+    tests/test_maml_oracle.py)."""
+
+    requires_batch_stat_bn = False
+
+    def loss(self, variables, batch, setting, rng):
+        # the backbone runs in train mode (standard BN batch stats +
+        # running-stat updates, reference set_forward_loss path) — the
+        # inner loop itself only touches the head
+        seg_logits, updates = self._anil_logits(
+            variables, batch, self.train_iter, train=True, rng=rng
+        )
+        loss = masked_cross_entropy(
+            seg_logits, segment_targets(batch), batch.query_mask
+        )
+        return loss, LossOutput(
+            seg_logits=seg_logits,
+            metrics=self.train_metrics(seg_logits, batch),
+            updates=updates,
+        )
 
     def _run(self, variables, batch, setting, n_steps):
-        sup_f, qry_f, _ = self.embed(variables, batch, train=False)
+        seg_logits, _ = self._anil_logits(variables, batch, n_steps, train=False)
+        return seg_logits
+
+    def _anil_logits(self, variables, batch, n_steps, train, rng=None):
+        sup_f, qry_f, updates = self.embed(variables, batch, train=train, rng=rng)
         params = variables["params"]
 
         def episode_fn(sup_feats, sup_y, qry_feats):
@@ -170,7 +229,8 @@ class ANIL(MAMLBase):
             adapted, _ = jax.lax.scan(sgd_step, head0, None, length=n_steps)
             return self._head_logits(adapted, qry_feats)
 
-        return jax.vmap(episode_fn)(sup_f, batch.support_target, qry_f)
+        seg_logits = jax.vmap(episode_fn)(sup_f, batch.support_target, qry_f)
+        return seg_logits, updates
 
 
 @CLASSIFIERS.register("BOIL")
@@ -202,18 +262,19 @@ class BOIL(MAMLBase):
 
         def episode_fn(sup_x, sup_y, qry_x):
             adaptable = self._adaptable(params)
-            frozen = {k: v for k, v in params.items() if k not in adaptable}
             lr_tree = self._inner_lr_tree(adaptable)
 
             def support_loss(adapt_p):
-                logits, _ = self._net({**frozen, **adapt_p}, batch_stats, sup_x)
+                logits, _ = self._net(
+                    self._merge_adapted(params, adapt_p), batch_stats, sup_x
+                )
                 return _ce(logits, sup_y)
 
             grads = jax.grad(support_loss)(adaptable)
             adapted = jax.tree_util.tree_map(
                 lambda w, g, lr: w - lr * g, adaptable, grads, lr_tree
             )
-            merged = {**frozen, **adapted}
+            merged = self._merge_adapted(params, adapted)
             _, sup_f = self._net(merged, batch_stats, sup_x)
             _, qry_f = self._net(merged, batch_stats, qry_x)
             onehot = jax.nn.one_hot(sup_y, self.way_num, dtype=sup_f.dtype)

@@ -46,6 +46,7 @@ def cuda_to_cpu():
     import torch
 
     orig = torch.Tensor.to
+    orig_cuda = torch.Tensor.cuda
 
     def patched(self, *args, **kwargs):
         args = tuple(
@@ -59,10 +60,14 @@ def cuda_to_cpu():
         return orig(self, *args, **kwargs)
 
     torch.Tensor.to = patched
+    # BatchNorm2d_fw hard-codes ``.cuda()`` on its fresh stats
+    # (maml_module.py:85-86) — identity on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
     try:
         yield
     finally:
         torch.Tensor.to = orig
+        torch.Tensor.cuda = orig_cuda
 
 
 def episode_batch_to_reference(
