@@ -187,8 +187,14 @@ class R2D2Embedding(nn.Module):
         b4 = block(b3, 512, "block4", retain_activation=False, keep_prob=0.9,
                    pool_stride=1)
         n = x.shape[0]
+        # flatten in torch CHW order (reference b.view(n, -1) on NCHW) so
+        # converted checkpoints and cross-framework features align
         out = jnp.concatenate(
-            [b3.reshape(n, -1), b4.reshape(n, -1)], axis=-1
+            [
+                b3.transpose(0, 3, 1, 2).reshape(n, -1),
+                b4.transpose(0, 3, 1, 2).reshape(n, -1),
+            ],
+            axis=-1,
         )
         return out.astype(jnp.float32)
 
@@ -200,8 +206,8 @@ def r2d2_embedding(**kwargs) -> R2D2Embedding:
 
 class Conv64FMCL(nn.Module):
     """Dense-map 4-block conv for MCL-style local-descriptor methods
-    (reference conv_four_mcl.py): 2×2 pools on the first two blocks only,
-    keeping a high-resolution [64, F/4, T/4] map."""
+    (reference conv_four_mcl.py): bias-free conv → BN → LeakyReLU(0.2) →
+    2×2 pool in EVERY block, yielding a [64, F/16, T/16] map."""
 
     num_channels: int = 1
     use_running_statistics: bool = True
@@ -214,11 +220,12 @@ class Conv64FMCL(nn.Module):
             x = ConvBnAct(
                 features=64,
                 use_running_statistics=self.use_running_statistics,
+                leaky_relu=True,
+                use_bias=False,
                 dtype=self.dtype,
                 name=f"layer{i + 1}",
             )(x, train)
-            if i < 2:
-                x = max_pool_floor(x, 2, 2)
+            x = max_pool_floor(x, 2, 2)
         return to_nchw(x.astype(jnp.float32))
 
 

@@ -70,6 +70,7 @@ class ConvBnAct(nn.Module):
     leaky_relu: bool = False
     negative_slope: float = 0.2
     kernel: Tuple[int, int] = (3, 3)
+    use_bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -78,7 +79,7 @@ class ConvBnAct(nn.Module):
             self.features,
             self.kernel,
             padding="SAME",
-            use_bias=True,
+            use_bias=self.use_bias,
             dtype=self.dtype,
         )(x)
         x = BatchNorm(

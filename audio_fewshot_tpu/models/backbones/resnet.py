@@ -250,7 +250,8 @@ class ResNetMTLOfficial(nn.Module):
         x = x.astype(jnp.float32)
         k = (min(10, x.shape[1]), min(10, x.shape[2]))
         x = nn.avg_pool(x, k, strides=(1, 1), padding="VALID")
-        return x.reshape(x.shape[0], -1)
+        # flatten in torch CHW order (reference x.view(n, -1) on NCHW)
+        return x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
 
 
 @BACKBONES.register("resnet12MTLofficial")
@@ -277,6 +278,9 @@ class ResNet12Dense(nn.Module):
     dropblock_size: int = 3
     num_channels: int = 1
     use_running_statistics: bool = True
+    #: reference resnet12_r2d2 adaptive-avg-pools to [N, C]
+    #: (resnet_12_mcl.py:167-179); resnet12_mcl keeps the dense map
+    global_avg_pool: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -291,6 +295,8 @@ class ResNet12Dense(nn.Module):
         x = BasicBlock3(self.planes[1], name="layer2", **common)(x, train)
         x = BasicBlock3(self.planes[2], drop_block=True, name="layer3", **common)(x, train)
         x = BasicBlock3(self.planes[3], drop_block=True, name="layer4", **common)(x, train)
+        if self.global_avg_pool:
+            return x.astype(jnp.float32).mean(axis=(1, 2))
         return to_nchw(x.astype(jnp.float32))
 
 
@@ -301,6 +307,7 @@ def resnet12_mcl(**kwargs):
 
 @BACKBONES.register("resnet12_r2d2")
 def resnet12_r2d2(**kwargs):
+    kwargs.setdefault("global_avg_pool", True)
     return ResNet12Dense(**_clean(kwargs))
 
 

@@ -69,6 +69,11 @@ class VisionTransformer(nn.Module):
     return_tokens: bool = False
     num_channels: int = 1
     ln_eps: float = 1e-6  # class-aware reference default (vit_class_aware.py:230)
+    #: "cls" (ours, with final norm) or "mean" — the standard-ViT reference
+    #: mean-pools tokens (vit.py:166); combine with final_norm=False for
+    #: exact reference-output semantics (converted-checkpoint parity)
+    pool: str = "cls"
+    final_norm: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -99,9 +104,13 @@ class VisionTransformer(nn.Module):
                 mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
                 ln_eps=self.ln_eps, dtype=self.dtype, name=f"block{i}",
             )(x, train)
-        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)
+        x = x.astype(jnp.float32)
         if self.return_tokens:
             return x
+        if self.pool == "mean":
+            return x.mean(axis=1)
         return x[:, 0]
 
 
@@ -132,7 +141,10 @@ def vit(**kwargs):
     kwargs.pop("dim_head", None)  # ours derives head_dim = dim / heads
     kwargs.pop("emb_dropout", None)  # folded into drop_rate (pos_drop)
     kwargs.pop("num_classes", None)  # reference head is identity at 0
-    kwargs.pop("pool", None)
+    # ``pool: mean`` + ``final_norm: false`` restore the exact reference
+    # output semantics (vit.py:166 mean-pools with no final norm) — used
+    # by converted reference checkpoints; the default stays ours (cls +
+    # final norm, documented delta)
     kwargs = _clean(kwargs)
     # the standard-ViT reference (vit.py) uses torch-default LN eps —
     # after _clean so an explicit null can't resurrect the 1e-6 default

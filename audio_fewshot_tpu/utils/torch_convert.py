@@ -264,9 +264,177 @@ def _swin_with_factors(factors):
     return conv
 
 
+def _convert_r2d2emb(state, params, stats):
+    """R2D2Embedding (reference conv_four.py:203-262: block{i} =
+    Sequential(conv3×3 w/ bias, BN, pool[, LeakyReLU][, Dropout]))."""
+    for i in range(1, 5):
+        blk = f"block{i}"
+        params[f"{blk}_conv"]["kernel"] = _conv_w(state[f"{blk}.0.weight"])
+        params[f"{blk}_conv"]["bias"] = np.asarray(state[f"{blk}.0.bias"])
+        _bn(params[f"{blk}_bn"]["BatchNorm_0"],
+            stats[f"{blk}_bn"]["BatchNorm_0"], state, f"{blk}.1")
+
+
+def _convert_convmcl(state, params, stats):
+    """Conv64F_MCL (reference conv_four_mcl.py: layer{i} =
+    Sequential(bias-free conv, BN, LeakyReLU, pool))."""
+    for i in range(1, 5):
+        seq = f"layer{i}"
+        params[seq]["Conv_0"]["kernel"] = _conv_w(state[f"{seq}.0.weight"])
+        _bn(
+            params[seq]["BatchNorm_0"]["BatchNorm_0"],
+            stats[seq]["BatchNorm_0"]["BatchNorm_0"],
+            state, f"{seq}.1",
+        )
+
+
+def _convert_wrn(state, params, stats):
+    """WRN (reference wrn.py: conv1 stem; block{g}.layer.{b} pre-activation
+    BasicBlocks with bn1/conv1/bn2/conv2[/convShortcut]; final bn1)."""
+    params["conv1"]["kernel"] = _conv_w(state["conv1.weight"])
+    _bn(params["bn1"]["BatchNorm_0"], stats["bn1"]["BatchNorm_0"], state, "bn1")
+    n_blocks = 0
+    for g in range(1, 4):
+        b = 0
+        while f"block{g}.layer.{b}.conv1.weight" in state:
+            ref = f"block{g}.layer.{b}"
+            name = f"block{g}_{b}"
+            p, s = params[name], stats[name]
+            for j in (1, 2):
+                p[f"conv{j}"]["kernel"] = _conv_w(state[f"{ref}.conv{j}.weight"])
+                _bn(
+                    p[f"bn{j}"]["BatchNorm_0"], s[f"bn{j}"]["BatchNorm_0"],
+                    state, f"{ref}.bn{j}",
+                )
+            if f"{ref}.convShortcut.weight" in state:
+                p["shortcut"]["kernel"] = _conv_w(
+                    state[f"{ref}.convShortcut.weight"]
+                )
+            b += 1
+            n_blocks += 1
+    if n_blocks == 0:
+        raise KeyError(
+            "no WRN block keys found (expected block1.layer.0.conv1.weight)"
+        )
+
+
+def _convert_resnet12_dense(state, params, stats):
+    """resnet12_mcl / resnet12_r2d2 (reference resnet_12_mcl.py: same
+    3-conv BasicBlock key layout as resnet12 — layer{i}.0.conv{j}/bn{j} +
+    downsample; stride lives in a parameter-free maxpool)."""
+    _convert_resnet12(state, params, stats)
+
+
+def _mtl_conv(p, state, key, has_bias=False):
+    """Conv2dMtl → MtlConv: weight [O,I,kh,kw] → kernel [kh,kw,I,O];
+    mtl_weight [O,I,1,1] → mtl_scale [1,1,I,O]; shift = bias + mtl_bias
+    (the reference adds them at forward, resnet_12_mtl_offcial.py:149-152;
+    bias-free convs keep shift 0)."""
+    p["kernel"] = _conv_w(state[key + ".weight"])
+    p["mtl_scale"] = np.asarray(state[key + ".mtl_weight"]).transpose(2, 3, 1, 0)
+    if has_bias and key + ".bias" in state:
+        p["mtl_bias"] = (
+            np.asarray(state[key + ".bias"])
+            + np.asarray(state[key + ".mtl_bias"])
+        )
+    else:
+        p["mtl_bias"] = np.zeros(p["kernel"].shape[-1], np.float32)
+
+
+def _convert_resnet12mtl(state, params, stats):
+    """resnet12MTLofficial (reference resnet_12_mtl_offcial.py:212-270:
+    Conv2dMtl stem w/ bias + 3 stages × 4 two-conv BasicBlockMTL)."""
+    _mtl_conv(params["conv1"], state, "conv1", has_bias=True)
+    _bn(params["bn1"]["BatchNorm_0"], stats["bn1"]["BatchNorm_0"], state, "bn1")
+    for i in range(1, 4):
+        for b in range(4):
+            ref = f"layer{i}.{b}"
+            name = f"layer{i}_{b}"
+            p, s = params[name], stats[name]
+            for j in (1, 2):
+                _mtl_conv(p[f"conv{j}"], state, f"{ref}.conv{j}")
+                _bn(
+                    p[f"bn{j}"]["BatchNorm_0"], s[f"bn{j}"]["BatchNorm_0"],
+                    state, f"{ref}.bn{j}",
+                )
+            if f"{ref}.downsample.0.weight" in state:
+                _mtl_conv(p["downsample_conv"], state, f"{ref}.downsample.0")
+                _bn(
+                    p["downsample_bn"]["BatchNorm_0"],
+                    s["downsample_bn"]["BatchNorm_0"],
+                    state, f"{ref}.downsample.1",
+                )
+
+
+def _ln(params, state, key):
+    params["scale"] = np.asarray(state[key + ".weight"])
+    params["bias"] = np.asarray(state[key + ".bias"])
+
+
+def _convert_vit(state, params, stats):
+    """Standard ViT (reference vit.py, lucidrains-style): patch Linear over
+    (p1 p2 c)-flattened patches → our patch conv; per block PreNorm attn
+    (packed bias-free to_qkv + to_out) and PreNorm MLP.  Requires
+    dim_head·heads == dim (our attention derives head_dim).  Use backbone
+    kwargs ``pool: mean`` + ``final_norm: false`` for exact
+    reference-output semantics."""
+    pe = params["patch_embed"]
+    kh, kw, cin, dim = pe["kernel"].shape
+    w = np.asarray(state["to_patch_embedding.1.weight"])  # [dim, p1*p2*c]
+    pe["kernel"] = np.ascontiguousarray(
+        w.reshape(dim, kh, kw, cin).transpose(1, 2, 3, 0)
+    )
+    pe["bias"] = np.asarray(state["to_patch_embedding.1.bias"])
+    params["pos_embed"] = np.asarray(state["pos_embedding"])
+    params["cls_token"] = np.asarray(state["cls_token"])
+
+    i = 0
+    while f"transformer.layers.{i}.0.norm.weight" in state:
+        blk = params[f"block{i}"]
+        ref = f"transformer.layers.{i}"
+        _ln(blk["norm1"], state, f"{ref}.0.norm")
+        attn = blk["attn"]
+        heads = attn["query"]["kernel"].shape[1]
+        head_dim = attn["query"]["kernel"].shape[2]
+        qkv = np.asarray(state[f"{ref}.0.fn.to_qkv.weight"])  # [3·inner, dim]
+        inner = heads * head_dim
+        if qkv.shape[0] != 3 * inner:
+            raise KeyError(
+                f"ViT converter requires dim_head*heads == dim "
+                f"(got to_qkv {qkv.shape}, ours inner={inner})"
+            )
+        for name, wpart in zip(("query", "key", "value"), np.split(qkv, 3, axis=0)):
+            attn[name]["kernel"] = np.ascontiguousarray(
+                wpart.transpose(1, 0).reshape(dim, heads, head_dim)
+            )
+            attn[name]["bias"] = np.zeros((heads, head_dim), np.float32)
+        out_w = np.asarray(state[f"{ref}.0.fn.to_out.0.weight"])  # [dim, inner]
+        attn["out"]["kernel"] = np.ascontiguousarray(
+            out_w.transpose(1, 0).reshape(heads, head_dim, dim)
+        )
+        attn["out"]["bias"] = np.asarray(state[f"{ref}.0.fn.to_out.0.bias"])
+        _ln(blk["norm2"], state, f"{ref}.1.norm")
+        blk["fc1"]["kernel"] = _lin_w(state[f"{ref}.1.fn.net.0.weight"])
+        blk["fc1"]["bias"] = np.asarray(state[f"{ref}.1.fn.net.0.bias"])
+        blk["fc2"]["kernel"] = _lin_w(state[f"{ref}.1.fn.net.3.weight"])
+        blk["fc2"]["bias"] = np.asarray(state[f"{ref}.1.fn.net.3.bias"])
+        i += 1
+    if i == 0:
+        raise KeyError(
+            "no ViT block keys found (expected transformer.layers.0.0.norm.weight)"
+        )
+
+
 _CONVERTERS = {
     "Conv64F": _convert_convnf,
     "Conv32F": _convert_convnf,
+    "R2D2Embedding": _convert_r2d2emb,
+    "Conv64F_MCL": _convert_convmcl,
+    "WRN": _convert_wrn,
+    "resnet12_mcl": _convert_resnet12_dense,
+    "resnet12_r2d2": _convert_resnet12_dense,
+    "resnet12MTLofficial": _convert_resnet12mtl,
+    "ViT": _convert_vit,
     "resnet12": _convert_resnet12,
     "resnet12woLSC": _convert_resnet12,
     "resnet12Bdc": _convert_resnet12bdc,
