@@ -515,6 +515,13 @@ def get_dataloader(
         query_n = config.get("test_query") or config["query_num"]
         episodes = int(config.get("test_episode", 600))
 
+    # eval throughput is round-trip bound at small batch sizes through the
+    # TPU tunnel — test_episode_size lets eval batch more episodes per
+    # dispatch without changing training gradient semantics
+    ep_size = int(config.get("episode_size", 1))
+    if mode != "train" and config.get("test_episode_size"):
+        ep_size = int(config["test_episode_size"])
+
     buckets = config.get("segment_bucket_sizes")
     n_loaders = int(config.get("dataloader_num", 1)) if mode == "train" else 1
     loaders: List[Any] = [
@@ -524,7 +531,7 @@ def get_dataloader(
             shot=shot,
             query=query_n,
             episodes_per_epoch=episodes,
-            episode_size=int(config.get("episode_size", 1)),
+            episode_size=ep_size,
             mode=mode,
             seed=seed + 1000 * _SPLIT_INDEX[mode],
             segment_bucket_sizes=tuple(buckets) if buckets else None,

@@ -85,7 +85,11 @@ class Test:
         self.method: MethodBase = build_method(config)
         self.setting = eval_setting(config)
         self.mesh = get_mesh(
-            config.get("n_devices"), batch_divisor=int(config.get("episode_size", 1))
+            config.get("n_devices"),
+            batch_divisor=int(
+                config.get("test_episode_size")
+                or config.get("episode_size", 1)
+            ),
         )
 
         self.val_loader = get_dataloader(
@@ -260,9 +264,23 @@ class Test:
         all_accs: List[float] = []
         from .parallel.mesh import transfer_ahead
 
+        queue_depth = int(cfg.get("eval_queue_depth", 32))
+
         for epoch in range(n_epochs):
             t0 = time.time()
             accs: List[float] = []
+            pending: List[Any] = []
+
+            def drain():
+                # one host sync for the whole window — jax dispatch is async,
+                # so per-step device_get makes warm eval round-trip-latency
+                # bound through the tunnel (BASELINE.md: 87 eps/s at
+                # episode_size 4 vs 301 device-side); K-deep pipelining
+                # amortizes the latency K×
+                for got in jax.device_get(pending):
+                    accs.extend(np.asarray(got).ravel().tolist())
+                pending.clear()
+
             for dev_batch in transfer_ahead(
                 self.test_loader[0].epoch(epoch), self.mesh, self.transfer_dtype
             ):
@@ -276,7 +294,10 @@ class Test:
                     ep_acc = self._jit_eval_step(
                         self.variables, dev_batch, self.test_bank, self.setting
                     )
-                accs.extend(np.asarray(jax.device_get(ep_acc)).ravel().tolist())
+                pending.append(ep_acc)
+                if len(pending) >= queue_depth:
+                    drain()
+            drain()
             mean, ci = mean_confidence_interval(accs)
             n_eps = len(accs)
             dt = time.time() - t0

@@ -122,10 +122,15 @@ class DeepBDC(MethodBase):
             seg_logits = self.forward(variables, batch, setting)
             return self.clip_uncertainty(seg_logits, batch)
 
+        # dispatch the whole pass asynchronously, sync once — per-step
+        # device_get makes the calibration pass tunnel-round-trip bound
+        pending = [
+            step(variables, shard_batch(batch, mesh), bank)
+            for batch in loader.epoch(0)
+        ]
         thresholds, means, stds = [], [], []
         all_u, all_ok = [], []
-        for batch in loader.epoch(0):
-            u, ok = jax.device_get(step(variables, shard_batch(batch, mesh), bank))
+        for u, ok in jax.device_get(pending):
             u = np.asarray(u).ravel()
             ok = np.asarray(ok).ravel()
             all_u.append(u)

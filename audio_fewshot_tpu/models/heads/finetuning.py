@@ -44,6 +44,50 @@ def cosine_scores(feats: jnp.ndarray, weights: jnp.ndarray, scale: float,
     return scale * (f @ w.T)
 
 
+def sklearn_probe_logits(sup_f: jnp.ndarray, sup_y: jnp.ndarray,
+                         qry_f: jnp.ndarray, way: int, C: float,
+                         iters: int = 128) -> jnp.ndarray:
+    """Converged L2-penalized multinomial logistic-regression probe — the
+    exact objective sklearn's ``LogisticRegression(penalty="l2", C=C,
+    solver="lbfgs", multi_class="multinomial")`` minimizes (reference
+    deepbdc_pretrain.py:215-228, rfs_model.py:166-180, skd_model.py:199-212):
+
+        min_{W,b}  0.5·‖W‖²_F + C · Σᵢ CE(xᵢ·W + b, yᵢ)
+
+    with the intercept unpenalized.  The problem is strictly convex, so any
+    solver reaching the optimum gives sklearn's solution; we run optax L-BFGS
+    (zoom linesearch) to convergence under jit/vmap.  Callers L2-normalize
+    features first, as the reference does on both support and query."""
+    d = sup_f.shape[-1]
+    sup_f = sup_f.astype(jnp.float32)
+    qry_f = qry_f.astype(jnp.float32)
+    params = {
+        "w": jnp.zeros((d, way), jnp.float32),
+        "b": jnp.zeros((way,), jnp.float32),
+    }
+
+    def objective(p):
+        logp = jax.nn.log_softmax(sup_f @ p["w"] + p["b"])
+        ce = -jnp.sum(jnp.take_along_axis(logp, sup_y[:, None], axis=1))
+        return 0.5 * jnp.sum(p["w"] ** 2) + C * ce
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(objective)
+
+    def step(carry, _):
+        p, state = carry
+        value, grad = value_and_grad(p, state=state)
+        updates, state = opt.update(
+            grad, state, p, value=value, grad=grad, value_fn=objective
+        )
+        return (optax.apply_updates(p, updates), state), None
+
+    (params, _), _ = jax.lax.scan(
+        step, (params, opt.init(params)), None, length=iters
+    )
+    return qry_f @ params["w"] + params["b"]
+
+
 class FinetuningBase(MethodBase):
     model_type = ModelType.FINETUNING
 
@@ -232,9 +276,12 @@ class RFSModel(FinetuningBase):
         return loss, out
 
     def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps, way=None):
+        # reference rfs_model.py:166-180: converged sklearn LogisticRegression
+        # (C=1.0) on L2-normalized features, not an SGD probe
         sup_f = sup_f / (jnp.linalg.norm(sup_f, axis=-1, keepdims=True) + 1e-5)
         qry_f = qry_f / (jnp.linalg.norm(qry_f, axis=-1, keepdims=True) + 1e-5)
-        return super()._episode_head_logits(sup_f, sup_y, qry_f, n_steps, way=way)
+        return sklearn_probe_logits(sup_f, sup_y, qry_f,
+                                    way or self.way_num, C=1.0)
 
 
 @CLASSIFIERS.register("SKDModel")
@@ -332,8 +379,9 @@ class SKDModel(FinetuningBase):
         )
 
     def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps, way=None):
-        # L2-normalized linear probe, like RFS
+        # reference skd_model.py:199-212: converged sklearn LogisticRegression
+        # (default C=1.0) on L2-normalized features
         sup_f = sup_f / (jnp.linalg.norm(sup_f, axis=-1, keepdims=True) + 1e-5)
         qry_f = qry_f / (jnp.linalg.norm(qry_f, axis=-1, keepdims=True) + 1e-5)
-        return FinetuningBase._episode_head_logits(
-            self, sup_f, sup_y, qry_f, n_steps, way=way)
+        return sklearn_probe_logits(sup_f, sup_y, qry_f,
+                                    way or self.way_num, C=1.0)

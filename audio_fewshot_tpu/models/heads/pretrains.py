@@ -99,6 +99,16 @@ class DeepBDCPretrain(GlobalPretrain):
             )
         return loss, out
 
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps, way=None):
+        # reference deepbdc_pretrain.py:215-228: converged sklearn
+        # LogisticRegression (C=penalty_C) on L2-normalized features
+        from .finetuning import sklearn_probe_logits
+
+        sup_f = sup_f / (jnp.linalg.norm(sup_f, axis=-1, keepdims=True) + 1e-5)
+        qry_f = qry_f / (jnp.linalg.norm(qry_f, axis=-1, keepdims=True) + 1e-5)
+        return sklearn_probe_logits(sup_f, sup_y, qry_f,
+                                    way or self.way_num, C=self.penalty_c)
+
     def forward(self, variables, batch, setting):
         if self.val_type == "stl":
             return FinetuningBase.forward(self, variables, batch, setting)

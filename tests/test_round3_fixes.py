@@ -216,3 +216,28 @@ class TestTtaCleanStats:
         mean, std = resolve_tta_stats(cfg, logging.getLogger("t"))
         assert float(np.asarray(mean).reshape(())) == pytest.approx(-15.0)
         assert float(np.asarray(std).reshape(())) == pytest.approx(26.0)
+
+
+class TestEvalBatching:
+    """VERDICT round 2, item 5 — close the CLI eval round-trip gap."""
+
+    def test_test_episode_size_overrides_eval_only(self):
+        from audio_fewshot_tpu.data import get_dataloader
+        from audio_fewshot_tpu.models.base import ModelType
+
+        cfg = {
+            "data_root": "synthetic:6:8", "spec_shape": SPEC,
+            "way_num": 3, "shot_num": 2, "query_num": 3,
+            "episode_size": 2, "test_episode_size": 4,
+            "train_episode": 8, "test_episode": 8, "seed": 0,
+            "prefetch": 0, "max_segments_per_clip": 2,
+        }
+        tr = get_dataloader(cfg, "train", ModelType.METRIC, False, "audio")
+        ev = get_dataloader(cfg, "test", ModelType.METRIC, False, "audio")
+        assert tr[0].episode_size == 2
+        assert ev[0].episode_size == 4
+        # unset → eval inherits episode_size
+        cfg2 = {**cfg}
+        del cfg2["test_episode_size"]
+        ev2 = get_dataloader(cfg2, "test", ModelType.METRIC, False, "audio")
+        assert ev2[0].episode_size == 2
