@@ -266,6 +266,48 @@ class Test:
 
         queue_depth = int(cfg.get("eval_queue_depth", 32))
 
+        if cfg.get("eval_warmup", True):
+            # One discarded execution per DISTINCT batch shape before the
+            # timed loop.  Each bucketed shape is its own executable, and
+            # through the remote-TPU tunnel an executable's first execution
+            # pays server-side compile/load plus the async weight+bank
+            # transfers (observed 0.3-150 s, nondeterministic — the server
+            # caches executables across processes for a while); folding that
+            # into the epoch timer made the reported eps/s meaningless
+            # run-to-run.  Logged separately so the one-time cost stays
+            # visible.
+            t0 = time.time()
+            buckets = getattr(self.test_loader[0], "segment_bucket_sizes", None)
+            n_expect = max(1, len(buckets)) if buckets else 1
+            seen: set = set()
+            for wb in transfer_ahead(
+                self.test_loader[0].epoch(0), self.mesh, self.transfer_dtype
+            ):
+                key = tuple(
+                    getattr(l, "shape", ()) for l in jax.tree_util.tree_leaves(wb)
+                )
+                if key in seen:
+                    if len(seen) >= n_expect:
+                        break
+                    continue
+                seen.add(key)
+                if energy:
+                    out = self._jit_tta_step(
+                        self.variables, wb, self.test_bank,
+                        jax.random.PRNGKey(0), self.setting,
+                    )
+                else:
+                    out = self._jit_eval_step(
+                        self.variables, wb, self.test_bank, self.setting
+                    )
+                jax.block_until_ready(out)
+                if len(seen) >= n_expect:
+                    break
+            self.logger.info(
+                "eval step warmed in %.1fs (%d shape(s); compile + "
+                "weight/bank transfer)", time.time() - t0, len(seen),
+            )
+
         for epoch in range(n_epochs):
             t0 = time.time()
             accs: List[float] = []
