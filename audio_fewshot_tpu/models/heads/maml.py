@@ -236,14 +236,37 @@ class ANIL(MAMLBase):
 @CLASSIFIERS.register("BOIL")
 class BOIL(MAMLBase):
     """Body-only inner loop: per-group LRs (reference boil.py:151-174;
-    ``classifier_lr`` usually 0)."""
+    ``classifier_lr`` usually 0).
 
-    def __init__(self, emb_func, inner_param: Optional[Dict] = None, **kwargs):
+    Reference deltas (see PARITY.md):
+
+    - Training takes exactly ONE inner step — the reference calls
+      ``set_forward_adaptation`` once per episode with no iteration loop
+      (boil.py:126-135) — so ``train_iter`` defaults to 1 here (still
+      overridable via ``inner_param``).
+    - The reference's per-param LR key ``"Linear" in name``
+      (boil.py:170) never matches any ``named_parameters()`` path (the
+      head param is ``classifier.layers.0.weight``), so as snapshotted
+      EVERY param updates at ``extractor_lr``.  We key on the submodule
+      (emb_func vs classifier) — the paper's intent.  The shipped config
+      sets both LRs to 1e-2 (config/classifiers/BOIL.yaml), making the
+      two keyings identical there; the torch oracle runs under that
+      equal-LR regime (tests/test_maml_oracle.py).
+    - Eval mode comes from the reference's ``testing_method`` classifier
+      kwarg (BOIL.yaml ships ``NIL``); ``inner_param.test_mode`` is kept
+      as an alias.
+    """
+
+    def __init__(self, emb_func, inner_param: Optional[Dict] = None,
+                 testing_method: Optional[str] = None, **kwargs):
         super().__init__(emb_func, inner_param=inner_param, **kwargs)
         inner_param = inner_param or {}
         self.extractor_lr = float(inner_param.get("extractor_lr", self.inner_lr))
         self.classifier_lr = float(inner_param.get("classifier_lr", 0.0))
-        self.test_mode = str(inner_param.get("test_mode", "Once_update"))
+        self.train_iter = int(inner_param.get("train_iter", 1))
+        self.test_mode = str(
+            testing_method or inner_param.get("test_mode", "Once_update")
+        )
 
     def _inner_lr_tree(self, adaptable):
         return {

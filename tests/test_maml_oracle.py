@@ -47,11 +47,24 @@ def _episode_batch(seed=0, e=2):
     return make_dense_episode_batch(sup, qry, WAY, SHOT, QUERY)
 
 
+# BOIL: one inner step (boil.py:126-135), per-param LRs; the shipped config
+# pins classifier_lr == extractor_lr (config/classifiers/BOIL.yaml), under
+# which the reference's broken '"Linear" in name' keying (boil.py:170) and
+# our submodule keying coincide — the regime this oracle runs in
+INNER_BOIL = {"extractor_lr": 0.01, "classifier_lr": 0.01}
+
+
+def _head_kwargs(classifier):
+    if classifier == "BOIL":
+        return {"inner_param": dict(INNER_BOIL), "feat_dim": FEAT_DIM,
+                "testing_method": "Once_update"}
+    return {"inner_param": dict(INNER), "feat_dim": FEAT_DIM}
+
+
 def _build_ours(classifier):
     return build_method({
         "backbone": {"name": "Conv64F", "kwargs": dict(BK_KWARGS)},
-        "classifier": {"name": classifier, "kwargs": {
-            "inner_param": dict(INNER), "feat_dim": FEAT_DIM}},
+        "classifier": {"name": classifier, "kwargs": _head_kwargs(classifier)},
         "modality": "audio",
         "way_num": WAY, "shot_num": SHOT, "query_num": QUERY,
         "precision": "fp32",
@@ -65,7 +78,7 @@ def _build_ref(classifier, variables, method):
     emb = conv.Conv64F(**BK_KWARGS)
     mod = load_ref(f"libfewshot_core.model.meta.{classifier.lower()}")
     model = getattr(mod, classifier)(
-        inner_param=dict(INNER), feat_dim=FEAT_DIM,
+        **_head_kwargs(classifier),
         init_type="normal", way_num=WAY, shot_num=SHOT, query_num=QUERY,
         emb_func=emb, device="cpu",
     )
@@ -104,10 +117,11 @@ def _ref_query_logits(model, batch):
     return out.detach().numpy()
 
 
-@pytest.mark.parametrize("classifier", ["MAML", "ANIL"])
+@pytest.mark.parametrize("classifier", ["MAML", "ANIL", "BOIL"])
 def test_inner_loop_adapted_logits_parity(classifier):
-    """3 inner SGD steps on one fixed episode batch, identical weights:
-    adapted query logits agree across frameworks."""
+    """Inner SGD on one fixed episode batch, identical weights: adapted
+    query logits agree across frameworks (3 steps for MAML/ANIL, the
+    reference's single step for BOIL's Once_update eval)."""
     method = _build_ours(classifier)
     batch = _episode_batch()
     variables = method.init_variables(jax.random.PRNGKey(0), batch, SETTING)
@@ -121,6 +135,24 @@ def test_inner_loop_adapted_logits_parity(classifier):
 
     assert ref.shape == ours_flat.shape
     np.testing.assert_allclose(ours_flat, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_boil_honors_reference_testing_method_kwarg():
+    """The reference passes eval mode as a top-level ``testing_method``
+    classifier kwarg (config/classifiers/BOIL.yaml ships ``NIL``) — it
+    must not be silently dropped; and BOIL trains with the reference's
+    single inner step (boil.py:126-135), not MAML's train_iter."""
+    method = build_method({
+        "backbone": {"name": "Conv64F", "kwargs": dict(BK_KWARGS)},
+        "classifier": {"name": "BOIL", "kwargs": {
+            "inner_param": dict(INNER_BOIL), "feat_dim": FEAT_DIM,
+            "testing_method": "NIL"}},
+        "modality": "audio",
+        "way_num": WAY, "shot_num": SHOT, "query_num": QUERY,
+        "precision": "fp32",
+    })
+    assert method.test_mode == "NIL"
+    assert method.train_iter == 1
 
 
 def test_maml_inner_loop_moves_weights():
