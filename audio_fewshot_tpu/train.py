@@ -417,6 +417,20 @@ class Trainer:
             if isinstance(self.train_loader[1], FlatLoader) and not isinstance(
                 self.train_loader[0], FlatLoader
             ):
+                # zip truncates to the shorter loader (reference semantics)
+                # — on small datasets the flat companion can starve the
+                # epoch far below train_episode; say so instead of silently
+                # shrinking the epoch (lower batch_size to rebalance)
+                n_ep, n_flat = len(self.train_loader[0]), len(self.train_loader[1])
+                if epoch == 0 and n_flat < n_ep:
+                    self.logger.info(
+                        "dual-loader epoch truncated to %d steps: the "
+                        "global-flat companion (%d batches of batch_size "
+                        "%s) is shorter than the episodic loader (%d) — "
+                        "reference zip semantics (trainer.py:159)",
+                        min(n_ep, n_flat), n_flat,
+                        cfg.get("batch_size", 128), n_ep,
+                    )
                 for ep_b, g_b in zip(*iters[:2]):
                     yield DualBatch(episode=ep_b, flat=g_b)
                 return
