@@ -30,10 +30,16 @@ from .proto_net import neg_sq_euclidean, prototypes
 
 class SetAttention(nn.Module):
     """Single-head set-to-set attention: scaled dot-product + dropout,
-    residual, LayerNorm (reference MultiHeadAttention with n_head=1)."""
+    residual, LayerNorm (reference MultiHeadAttention with n_head=1).
+
+    Dropout rates mirror the reference exactly: 0.1 on the attention
+    matrix (ScaledDotProductAttention's attn_dropout default, feat.py:58)
+    and 0.5 after the output projection (FEAT passes dropout=0.5,
+    feat.py:137)."""
 
     hdim: int
     dropout: float = 0.5
+    attn_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -46,7 +52,7 @@ class SetAttention(nn.Module):
         attn = jax.nn.softmax(
             jnp.einsum("...nd,...md->...nm", q, k) / jnp.sqrt(jnp.float32(d)), axis=-1
         )
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        attn = nn.Dropout(self.attn_dropout, deterministic=not train)(attn)
         out = jnp.einsum("...nm,...md->...nd", attn, v)
         out = nn.Dense(d, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -66,9 +72,16 @@ def metric_logits(query, proto, mode, temperature):
 class FEAT(MethodBase):
     model_type = ModelType.METRIC
 
-    def __init__(self, emb_func, hdim: int = 64, temperature: float = 64.0,
-                 temperature2: float = 16.0, balance: float = 0.1,
+    def __init__(self, emb_func, hdim: int = 64, temperature: float = 1.0,
+                 temperature2: float = 1.0, balance: float = 0.5,
                  mode: str = "euclidean", **kwargs):
+        # kwarg defaults = the reference's shipped audio config values
+        # (/root/reference/config/feat.yaml:17-22 and
+        # config/classifiers/FEAT.yaml — the reference class itself has no
+        # defaults); note the reference weights the EPISODIC term by
+        # ``balance`` (loss = balance*CE + CE_reg, feat.py:230), inverting
+        # the FEAT paper — the image-paper values (64/16/0.1) underfit
+        # under that weighting
         super().__init__(emb_func, **kwargs)
         self.hdim = hdim
         self.temperature = float(temperature)

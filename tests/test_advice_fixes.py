@@ -25,16 +25,23 @@ def _maml_config(**extra):
 
 
 def test_maml_family_forces_batch_stat_bn():
-    """ADVICE #2: MAML/ANIL/BOIL apply the backbone with train=False and
-    never merge batch_stats, so build_method must force batch-stat BN
-    (reference BatchNorm2d_fw always uses batch statistics)."""
+    """ADVICE #2 (amended by the round-3 torch oracle): MAML/BOIL convert
+    the WHOLE network to fast weights, so build_method forces batch-stat
+    BN (reference BatchNorm2d_fw always uses batch statistics).  ANIL is
+    the exception — the reference converts only the classifier
+    (anil.py:65), the backbone keeps standard BN with running stats at
+    eval (pinned by tests/test_maml_oracle.py)."""
     from audio_fewshot_tpu.models import build_method
 
-    for name in ("MAML", "ANIL", "BOIL"):
+    for name in ("MAML", "BOIL"):
         cfg = _maml_config()
         cfg["classifier"]["name"] = name
         method = build_method(cfg)
         assert method.emb_func.use_running_statistics is False, name
+
+    cfg = _maml_config()
+    cfg["classifier"]["name"] = "ANIL"
+    assert build_method(cfg).emb_func.use_running_statistics is True
 
     # explicit config key still wins
     cfg = _maml_config()

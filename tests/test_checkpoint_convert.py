@@ -86,7 +86,7 @@ def test_tool_roundtrip_loads_via_load_part(tmp_path, rng):
     res = subprocess.run(
         [sys.executable, "tools/convert_torch_checkpoint.py", str(src),
          "--backbone", "Conv64F", "--out", str(out),
-         "--backbone_kwargs", "is_flatten=true"],
+         "--backbone_kwargs", "is_flatten=true", "--cpu"],
         capture_output=True, text=True, cwd=".",
     )
     assert res.returncode == 0, res.stderr

@@ -170,7 +170,10 @@ def test_extraction_tool_and_embedding_dataset(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "extract_clap_embeddings.py"),
          "--audio_root", str(audio_root), "--out", str(out_root),
-         "--mini", "--allow-random-init", "--sample_rate", "16000"],
+         "--mini", "--allow-random-init", "--sample_rate", "16000",
+         # the child process re-runs sitecustomize, which latches the
+         # remote-TPU backend — keep the test off the tunnel
+         "--cpu"],
         capture_output=True, text=True,
     )
     assert res.returncode == 0, res.stderr

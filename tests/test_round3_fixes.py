@@ -241,3 +241,24 @@ class TestEvalBatching:
         del cfg2["test_episode_size"]
         ev2 = get_dataloader(cfg2, "test", ModelType.METRIC, False, "audio")
         assert ev2[0].episode_size == 2
+
+
+class TestFEATReferenceRecipe:
+    """FEAT fidelity: the reference inverts the paper's loss weighting
+    (feat.py:230 ``loss = loss1 * balance + loss_reg``) and ships audio
+    kwargs temperature/temperature2 1.0, balance 0.5
+    (/root/reference/config/feat.yaml:17-22); its attention uses 0.1 on
+    the attention matrix but 0.5 after the projection (feat.py:58,137)."""
+
+    def test_defaults_match_reference_audio_config(self):
+        from audio_fewshot_tpu.models.heads.feat import FEAT, SetAttention
+        from audio_fewshot_tpu.models.backbones.conv_four import conv64f
+
+        head = FEAT(conv64f(num_channels=1), way_num=5, shot_num=5,
+                    query_num=10)
+        assert head.temperature == 1.0
+        assert head.temperature2 == 1.0
+        assert head.balance == 0.5
+        attn = SetAttention(hdim=64)
+        assert attn.attn_dropout == 0.1
+        assert attn.dropout == 0.5

@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("--num_channels", type=int, default=1)
     ap.add_argument("--example_shape", default="1,128,157",
                     help="C,F,T example input used to init the template")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (conversion needs no "
+                         "accelerator; tests use this to stay off a "
+                         "possibly-unreachable remote TPU)")
     ap.add_argument("--backbone_kwargs", default="",
                     help="extra kwargs as k=v,k=v (values YAML-parsed)")
     args = ap.parse_args()
@@ -38,6 +42,8 @@ def main() -> int:
     import yaml
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import audio_fewshot_tpu.models  # noqa: F401  (populate registries)

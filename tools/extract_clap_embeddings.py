@@ -71,9 +71,16 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--mini", action="store_true",
                     help="tiny encoder variant (tests)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (JAX_PLATFORMS is latched "
+                         "before user code on some deployments, so an env "
+                         "override is not enough; tests use this to stay "
+                         "off a possibly-unreachable accelerator)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from audio_fewshot_tpu.models.backbones.clap_encoder import (
