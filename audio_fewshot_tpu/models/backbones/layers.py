@@ -40,14 +40,20 @@ class BatchNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``mask`` (broadcastable to ``x``, True = contributes) restricts
+        the BATCH statistics to valid rows — used by heads whose
+        batch-stat-only BNs run over bucket-padded eval batches, so the
+        padding rows don't perturb real rows' normalization (the torch
+        reference never pads; dense inputs make this a no-op)."""
         use_running_average = (not train) and self.use_running_statistics
         return nn.BatchNorm(
             use_running_average=use_running_average,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
-        )(x)
+        )(x, mask=mask)
 
 
 def activation_fn(leaky_relu: bool, negative_slope: float) -> Callable:

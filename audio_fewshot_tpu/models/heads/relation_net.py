@@ -29,12 +29,18 @@ class RelationLayer(nn.Module):
     feat_dim: int = 64
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        # x: [N, 2C, H, W] → NHWC
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # x: [N, 2C, H, W] → NHWC.  sample_mask [N] marks pairs built from
+        # real (non-bucket-padded) query rows: the batch-stat BNs restrict
+        # statistics to them so eval scores are padding-invariant (the
+        # torch reference never pads)
         x = jnp.transpose(x, (0, 2, 3, 1))
+        m = None if sample_mask is None else sample_mask[:, None, None, None]
         for i in range(2):
             x = nn.Conv(self.feat_dim, (3, 3), padding="VALID", name=f"conv{i + 1}")(x)
-            x = BatchNorm(use_running_statistics=False, name=f"bn{i + 1}")(x, train)
+            x = BatchNorm(use_running_statistics=False, name=f"bn{i + 1}")(
+                x, train, mask=m)
             x = nn.relu(x)
             if x.shape[1] >= 2 and x.shape[2] >= 2:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
@@ -73,8 +79,10 @@ class RelationNet(MethodBase):
         sup, qry, updates = self.embed(variables, batch, train=train, rng=rng)
         e, g = qry.shape[:2]
         pairs = self._pairs(qry, sup, setting.way, setting.shot)
+        pair_mask = jnp.repeat((batch.query_mask > 0).reshape(-1), setting.way)
         scores, upd2 = self.apply_module(
-            variables, "head", pairs, train=train, rng=rng
+            variables, "head", pairs, train=train, rng=rng,
+            sample_mask=pair_mask,
         )
         seg_logits = scores.reshape(e, g, setting.way)
         return seg_logits, self.merge_updates({}, updates, upd2) if (updates or upd2) else None

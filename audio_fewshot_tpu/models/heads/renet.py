@@ -92,26 +92,38 @@ class SepConv4d(nn.Module):
     use_running_statistics: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, sample_mask=None):
+        # sample_mask: [b] bool — rows contributing to batch statistics
+        # (bucket-padded eval batches; see BatchNorm.mask)
         b, u, v, h, w, c = x.shape
         urs = self.use_running_statistics
         pad = ((self.k // 2, self.k // 2),) * 2
+
+        def bn_mask(rows_per_sample):
+            if sample_mask is None:
+                return None
+            m = jnp.repeat(sample_mask, rows_per_sample)
+            return m[:, None, None, None]
+
         # conv over (u, v), shared across (h, w) — reference conv2
         y = x.transpose(0, 3, 4, 1, 2, 5).reshape(b * h * w, u, v, c)
         y = nn.Conv(c, (self.k, self.k), padding=pad, use_bias=False,
                     name="conv_uv")(y)
-        y = BatchNorm(use_running_statistics=urs, name="bn_uv")(y, train)
+        y = BatchNorm(use_running_statistics=urs, name="bn_uv")(
+            y, train, mask=bn_mask(h * w))
         y = y.reshape(b, h, w, u, v, c).transpose(0, 3, 4, 1, 2, 5)
         y = nn.relu(y)
         # conv over (h, w), shared across (u, v) — reference conv1
         z = y.reshape(b * u * v, h, w, c)
         z = nn.Conv(c, (self.k, self.k), padding=pad, use_bias=False,
                     name="conv_hw")(z)
-        z = BatchNorm(use_running_statistics=urs, name="bn_hw")(z, train)
+        z = BatchNorm(use_running_statistics=urs, name="bn_hw")(
+            z, train, mask=bn_mask(u * v))
         if self.in_planes != self.out_planes:
             z = nn.Conv(self.out_planes, (1, 1), use_bias=False,
                         name="proj")(z)
-            z = BatchNorm(use_running_statistics=urs, name="bn_proj")(z, train)
+            z = BatchNorm(use_running_statistics=urs, name="bn_proj")(
+                z, train, mask=bn_mask(u * v))
         return z.reshape(b, u, v, h, w, -1)
 
 
@@ -123,17 +135,17 @@ class CCAModule(nn.Module):
     use_running_statistics: bool = False
 
     @nn.compact
-    def __call__(self, corr, train: bool):
-        # corr: [B, Hs, Ws, Hq, Wq]
+    def __call__(self, corr, train: bool, sample_mask=None):
+        # corr: [B, Hs, Ws, Hq, Wq]; sample_mask [B] — see SepConv4d
         layer1 = SepConv4d(1, 16, name="sep1",
                            use_running_statistics=self.use_running_statistics)
         layer2 = SepConv4d(16, 1, name="sep2",
                            use_running_statistics=self.use_running_statistics)
 
         def f(x):
-            y = layer1(x[..., None], train)
+            y = layer1(x[..., None], train, sample_mask=sample_mask)
             y = nn.relu(y)
-            return layer2(y, train)[..., 0]
+            return layer2(y, train, sample_mask=sample_mask)[..., 0]
 
         sym = jnp.transpose(corr, (0, 3, 4, 1, 2))
         return f(corr) + jnp.transpose(f(sym), (0, 3, 4, 1, 2))
@@ -145,9 +157,12 @@ class CCALayer(nn.Module):
     temperature_attn: float = 5.0
 
     @nn.compact
-    def __call__(self, spt, qry, way, shot, train: bool):
+    def __call__(self, spt, qry, way, shot, train: bool, qry_mask=None):
         """spt [ns, c, h, w], qry [nq, c, h, w] → ([nq, way] sims,
-        [nq, c] pooled query)."""
+        [nq, c] pooled query).  ``qry_mask`` [nq] marks real (non-padded)
+        query rows; the batch-stat BNs restrict their statistics to them
+        so eval logits are bucket-padding-invariant (the reference never
+        pads — renet.py:378-404 is dense-only)."""
         ns, c, h, w = spt.shape
         nq = qry.shape[0]
         spt = spt - spt.mean(axis=1, keepdims=True)
@@ -160,24 +175,28 @@ class CCALayer(nn.Module):
         # eval consistent
         r1x1_bn = BatchNorm(use_running_statistics=False, name="cca_bn")
 
-        def reduce_shared(x):
+        def reduce_shared(x, row_mask=None):
             y = x.transpose(0, 2, 3, 1)
-            y = nn.relu(r1x1_bn(r1x1_conv(y), train))
+            m = None if row_mask is None else row_mask[:, None, None, None]
+            y = nn.relu(r1x1_bn(r1x1_conv(y), train, mask=m))
             return y.transpose(0, 3, 1, 2)
 
         s_r = reduce_shared(spt)
-        q_r = reduce_shared(qry)
+        q_r = reduce_shared(qry, qry_mask)
         s_r = s_r / jnp.maximum(jnp.linalg.norm(s_r, axis=1, keepdims=True), 1e-8)
         q_r = q_r / jnp.maximum(jnp.linalg.norm(q_r, axis=1, keepdims=True), 1e-8)
         corr = jnp.einsum("scij,qckl->qsijkl", s_r, q_r)  # [nq,ns,h,w,h,w]
 
+        pair_mask = None if qry_mask is None else jnp.repeat(qry_mask, ns)
         refined = CCAModule(name="cca_module")(
-            corr.reshape(nq * ns, h, w, h, w), train
+            corr.reshape(nq * ns, h, w, h, w), train, sample_mask=pair_mask
         ).reshape(nq, ns, h, w, h, w)
 
         def gauss_norm(x, axes):
             m = jnp.mean(x, axis=axes, keepdims=True)
-            v = jnp.var(x, axis=axes, keepdims=True)
+            # torch.var defaults to the UNBIASED (N-1) estimator
+            # (reference gaussian_normalize, renet.py:253-257)
+            v = jnp.var(x, axis=axes, keepdims=True, ddof=1)
             return (x - m) / jnp.sqrt(v + 1e-5)
 
         corr_s = gauss_norm(refined.reshape(nq, ns, h * w, h, w), (2,))
@@ -253,11 +272,15 @@ class RENet(MethodBase):
         merged = self.merge_updates({}, updates, upd2) if (updates or upd2) else None
         return sup_r, qry_r, merged
 
-    def _episode_sims(self, variables, sup, qry, way, shot, train, rng):
-        fn = lambda s, q: self.apply_module(
-            variables, "cca", s, q, way, shot, train=train, rng=rng
+    def _episode_sims(self, variables, sup, qry, way, shot, train, rng,
+                      qry_mask=None):
+        fn = lambda s, q, m: self.apply_module(
+            variables, "cca", s, q, way, shot, train=train, rng=rng,
+            qry_mask=m,
         )[0]
-        return jax.vmap(fn)(sup, qry)
+        if qry_mask is None:
+            qry_mask = jnp.ones(qry.shape[:2], bool)
+        return jax.vmap(fn)(sup, qry, qry_mask)
 
     def loss(self, variables, batch, setting, rng):
         """``loss = λ_epi·epi + abs + aux`` (reference renet.py:441-447):
@@ -274,7 +297,8 @@ class RENet(MethodBase):
             batch = batch.episode
         sup, qry, updates = self._refined(variables, batch, setting, True, rng)
         sims, qry_pooled = self._episode_sims(
-            variables, sup, qry, setting.way, setting.shot, True, rng
+            variables, sup, qry, setting.way, setting.shot, True, rng,
+            qry_mask=batch.query_mask > 0,
         )
         epi_loss = masked_cross_entropy(sims, segment_targets(batch), batch.query_mask)
 
@@ -333,6 +357,7 @@ class RENet(MethodBase):
     def forward(self, variables, batch, setting):
         sup, qry, _ = self._refined(variables, batch, setting, False, None)
         sims, _ = self._episode_sims(
-            variables, sup, qry, setting.way, setting.shot, False, None
+            variables, sup, qry, setting.way, setting.shot, False, None,
+            qry_mask=batch.query_mask > 0,
         )
         return sims

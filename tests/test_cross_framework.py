@@ -142,7 +142,8 @@ def test_episode_batch_to_reference_layout():
 
 
 def _train_ours(tmp_path, classifier, backbone, backbone_kwargs, cls_kwargs,
-                way=3, shot=2, query=3, epochs=2, train_episode=12):
+                way=3, shot=2, query=3, epochs=2, train_episode=12,
+                **config_overrides):
     from audio_fewshot_tpu.train import Trainer
 
     config = {
@@ -166,12 +167,14 @@ def _train_ours(tmp_path, classifier, backbone, backbone_kwargs, cls_kwargs,
         "device_data_bank": False,
         "n_devices": 1,
     }
+    config.update(config_overrides)
     trainer = Trainer(0, config)
     trainer.train_loop(0)
     return trainer, config
 
 
-def _cross_check(trainer, config, n_batches, atol):
+def _cross_check(trainer, config, n_batches, atol,
+                 head_inverter=None, ref_runner=None):
     from audio_fewshot_tpu.data import get_dataloader
 
     variables = jax.device_get(trainer.variables)
@@ -187,12 +190,15 @@ def _cross_check(trainer, config, n_batches, atol):
     )
 
     state = invert_backbone_params(variables, config["backbone"]["name"])
+    if head_inverter is not None:
+        state.update(head_inverter(variables))
     model = cfp.build_reference_model(
         config["classifier"]["name"], config["backbone"]["name"],
         dict(config["backbone"]["kwargs"] or {}),
         setting.way, setting.shot, setting.query, state,
+        cls_kwargs=dict(config["classifier"].get("kwargs") or {}),
     )
-    ref_logits, ref_accs = cfp.run_reference_eval(
+    ref_logits, ref_accs = (ref_runner or cfp.run_reference_eval)(
         model, batches, setting.way, setting.shot, setting.query
     )
     row = cfp.compare(
@@ -234,3 +240,30 @@ def test_e2e_deepbdc_trained_parity(tmp_path):
         epochs=1, train_episode=6,
     )
     _cross_check(trainer, config, n_batches=8, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_e2e_renet_trained_parity(tmp_path):
+    """Trained RENet/Conv64F: the head-ful method — SCR/CCA/fc weights
+    inverse-converted alongside the backbone, the reference set_forward
+    (renet.py:378-404) driven per episode.  Dense episodes + episode_size
+    1 because the reference's eval supports nothing else (no repeats path;
+    CCALayer flattens the episode axis); the reference's scr/cca BNs run
+    in train mode to match our batch-stat-only head BNs (see
+    run_reference_eval_renet)."""
+    trainer, config = _train_ours(
+        tmp_path, "RENet", "Conv64F",
+        # [1,32,30] → three 3×3/3 pools off → feature map [64,3,3]
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        # synthetic:8:10 → 8 train classes for the global fc
+        {"feat_dim": 64, "num_class": 8},
+        epochs=2, train_episode=12,
+        episode_size=1, max_segments_per_clip=1,
+    )
+    row = _cross_check(
+        trainer, config, n_batches=16, atol=1e-3,
+        head_inverter=cfp.invert_renet_head_params,
+        ref_runner=cfp.run_reference_eval_renet,
+    )
+    assert row["episodes"] == 16

@@ -120,6 +120,7 @@ def build_reference_model(
     shot: int,
     query: int,
     state_dict: Dict[str, np.ndarray],
+    cls_kwargs: Dict[str, Any] = None,
 ):
     """Instantiate the reference model on CPU and load ``state_dict``
     (numpy values, full-model keys e.g. ``emb_func.layer1.0.weight``)."""
@@ -135,11 +136,23 @@ def build_reference_model(
     cls_mod = {
         "ProtoNet": "libfewshot_core.model.metric.proto_net",
         "DeepBDC": "libfewshot_core.model.metric.deepbdc",
+        "RENet": "libfewshot_core.model.finetuning.renet",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
         emb_func=emb, device="cpu",
     )
+    if method == "RENet":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            lambda_epi=ck.get("lambda_epi", 0.25),
+            temperature=ck.get("temperature", 0.2),
+            temperature_attn=ck.get("temperature_attn", 5.0),
+            # our kwarg is ``num_class`` (reference renet.py:347 takes
+            # ``num_classes``)
+            num_classes=ck.get("num_class", ck.get("num_classes", 64)),
+        )
     model = getattr(load_ref(cls_mod), method)(**kwargs)
     sd = {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}
     missing, unexpected = model.load_state_dict(sd, strict=False)
@@ -161,6 +174,133 @@ def build_reference_model(
         )
     model.eval()
     return model
+
+
+def invert_renet_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax RENet head params (modules ``scr``/``cca``/``fc``,
+    heads/renet.py) → reference torch state-dict entries
+    (``scr_layer.model.1.*``, ``cca_layer.*``, ``fc.*`` — renet.py:347-364).
+
+    Exact inverses of the forward mappings proven by the layer oracles in
+    tests/test_torch_parity8.py: 1×1 Conv2d ``[1,1,in,out]→[out,in,1,1]``,
+    (1,k,k)-Conv3d ``[k,k,in,out]→[out,in,1,k,k]``, (k,k,1)-Conv3d
+    ``[k,k,in,out]→[out,in,k,k,1]``.  Running stats come from
+    ``batch_stats`` when present (the trained head is batch-stat-only, so
+    the reference must be driven with its BN in train mode — see
+    ``run_reference_eval_renet``)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    def put_bn(p_tree, s_tree, prefix):
+        bn = p_tree["BatchNorm_0"]
+        scale = np.asarray(bn["scale"])
+        out[prefix + ".weight"] = scale
+        out[prefix + ".bias"] = np.asarray(bn["bias"])
+        s = (s_tree or {}).get("BatchNorm_0", {})
+        out[prefix + ".running_mean"] = np.asarray(
+            s.get("mean", np.zeros_like(scale))
+        )
+        out[prefix + ".running_var"] = np.asarray(
+            s.get("var", np.ones_like(scale))
+        )
+
+    def k2d(kernel):  # [1,1,in,out] -> [out,in,1,1]
+        return np.asarray(kernel).transpose(3, 2, 0, 1)
+
+    scr_p, scr_s = params["scr"], stats.get("scr", {})
+    base = "scr_layer.model.1"
+    out[f"{base}.conv1x1_in.0.weight"] = k2d(scr_p["conv_in"]["kernel"])
+    put_bn(scr_p["bn_in"], scr_s.get("bn_in"), f"{base}.conv1x1_in.1")
+    for ours, theirs in (("conv1", "conv1"), ("conv2", "conv2")):
+        w = np.asarray(scr_p[ours]["kernel"]).transpose(3, 2, 0, 1)
+        out[f"{base}.{theirs}.0.weight"] = w[:, :, None]  # (1,k,k) Conv3d
+        put_bn(scr_p["bn" + ours[-1]], scr_s.get("bn" + ours[-1]),
+               f"{base}.{theirs}.1")
+    out[f"{base}.conv1x1_out.0.weight"] = k2d(scr_p["conv_out"]["kernel"])
+    put_bn(scr_p["bn_out"], scr_s.get("bn_out"), f"{base}.conv1x1_out.1")
+
+    cca_p, cca_s = params["cca"], stats.get("cca", {})
+    out["cca_layer.cca_1x1.0.weight"] = k2d(cca_p["cca_1x1"]["kernel"])
+    put_bn(cca_p["cca_bn"], cca_s.get("cca_bn"), "cca_layer.cca_1x1.1")
+    mod_p = cca_p["cca_module"]
+    mod_s = cca_s.get("cca_module", {})
+    for name, idx in (("sep1", 0), ("sep2", 2)):
+        sep, seps = mod_p[name], mod_s.get(name, {})
+        tbase = f"cca_layer.cca_module.conv.{idx}"
+        w_uv = np.asarray(sep["conv_uv"]["kernel"]).transpose(3, 2, 0, 1)
+        out[f"{tbase}.conv2.0.weight"] = w_uv[..., None]  # (k,k,1) Conv3d
+        put_bn(sep["bn_uv"], seps.get("bn_uv"), f"{tbase}.conv2.1")
+        w_hw = np.asarray(sep["conv_hw"]["kernel"]).transpose(3, 2, 0, 1)
+        out[f"{tbase}.conv1.0.weight"] = w_hw[:, :, None]  # (1,k,k) Conv3d
+        put_bn(sep["bn_hw"], seps.get("bn_hw"), f"{tbase}.conv1.1")
+        if "proj" in sep:
+            out[f"{tbase}.proj.0.weight"] = k2d(sep["proj"]["kernel"])
+            put_bn(sep["bn_proj"], seps.get("bn_proj"), f"{tbase}.proj.1")
+
+    out["fc.weight"] = np.asarray(params["fc"]["kernel"]).T
+    out["fc.bias"] = np.asarray(params["fc"]["bias"])
+    return out
+
+
+def run_reference_eval_renet(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference RENet ``set_forward`` (renet.py:378-404) over DENSE
+    episodes.
+
+    Two reference constraints shape this runner: ``set_forward`` takes no
+    ``repeats`` (``split_by_episode(mode=2)`` — ragged eval is impossible
+    in the reference), and ``CCALayer.forward`` flattens the episode axis
+    (renet.py:290-299), so episodes must be fed one at a time.  BN modes
+    mirror our head's semantics (heads/renet.py): the backbone and SCR
+    use standard running-stat BN → reference stays in eval mode with our
+    accumulated stats loaded; the CCA-side BNs (cca_1x1 + SepConv4d) are
+    batch-stat-only → the reference counterparts are put in train mode,
+    where torch BN normalizes with the current batch exactly as our eval
+    does."""
+    import torch
+
+    model.eval()
+    for m in model.cca_layer.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+            m.train()
+
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu(), torch.no_grad():
+        for b in batches:
+            images, target, repeats, support_size = episode_batch_to_reference(
+                b, way, shot, query
+            )
+            assert int(repeats.sum()) == len(repeats), (
+                "reference RENet eval requires dense episodes "
+                "(set_forward has no repeats path)"
+            )
+            e = support_size // (way * shot)
+            per_ep = way * (shot + query)
+            # local query targets in the mode-2 way-major clip order
+            local_q = np.repeat(np.arange(way), query)
+            for i in range(e):
+                ep = torch.from_numpy(
+                    np.ascontiguousarray(images[i * per_ep:(i + 1) * per_ep])
+                )
+                # ``set_forward`` itself is broken as snapshotted — a stale
+                # 4-value unpack of the 5-tuple ``split_by_episode``
+                # (renet.py:392 vs abstract_model.py:176-292; same break
+                # class as FEAT's train path, SURVEY §7.3) — so drive the
+                # intended pipeline directly: encode → mode-2 split →
+                # cca_layer (renet.py:367-404)
+                ep_feat = model.encode(ep)
+                c, h, w = ep_feat.shape[1:]
+                feats = ep_feat.view(1, way, shot + query, c, h, w)
+                sup = feats[:, :, :shot].reshape(-1, c, h, w)
+                qry = feats[:, :, shot:].reshape(-1, c, h, w)
+                out, _ = model.cca_layer(sup, qry)
+                pred = out.argmax(-1).cpu().numpy()
+                logits_out.append(out.detach().cpu().numpy())
+                accs.append(float(np.mean(pred == local_q) * 100.0))
+    return logits_out, accs
 
 
 def run_reference_eval(
