@@ -264,7 +264,12 @@ class Test:
         all_accs: List[float] = []
         from .parallel.mesh import transfer_ahead
 
-        queue_depth = int(cfg.get("eval_queue_depth", 32))
+        # deep pipelining is safe when in-flight step inputs are int32 bank
+        # indices; on the bank-less path every pending step keeps its FULL
+        # spectrogram payload live in HBM until execution retires, so cap
+        # the window unless the user overrides explicitly
+        default_depth = 32 if self.test_bank is not None else 4
+        queue_depth = int(cfg.get("eval_queue_depth") or default_depth)
 
         if cfg.get("eval_warmup", True):
             # One discarded execution per DISTINCT batch shape before the
@@ -279,15 +284,22 @@ class Test:
             t0 = time.time()
             buckets = getattr(self.test_loader[0], "segment_bucket_sizes", None)
             n_expect = max(1, len(buckets)) if buckets else 1
+            # a configured bucket may never occur in the sampled epoch
+            # (tail-cover buckets) — bound the scan so the warmup can't
+            # silently walk (and transfer) the entire test epoch hunting
+            # for a shape that never comes
+            scan_cap = max(8, 4 * n_expect)
+            scanned = 0
             seen: set = set()
             for wb in transfer_ahead(
                 self.test_loader[0].epoch(0), self.mesh, self.transfer_dtype
             ):
+                scanned += 1
                 key = tuple(
                     getattr(l, "shape", ()) for l in jax.tree_util.tree_leaves(wb)
                 )
                 if key in seen:
-                    if len(seen) >= n_expect:
+                    if len(seen) >= n_expect or scanned >= scan_cap:
                         break
                     continue
                 seen.add(key)

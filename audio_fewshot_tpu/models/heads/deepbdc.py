@@ -122,24 +122,36 @@ class DeepBDC(MethodBase):
             seg_logits = self.forward(variables, batch, setting)
             return self.clip_uncertainty(seg_logits, batch)
 
-        # dispatch the whole pass asynchronously, sync once — per-step
-        # device_get makes the calibration pass tunnel-round-trip bound
-        pending = [
-            step(variables, shard_batch(batch, mesh), bank)
-            for batch in loader.epoch(0)
-        ]
+        # dispatch asynchronously with a bounded window, draining every
+        # `depth` steps — per-step device_get makes the calibration pass
+        # tunnel-round-trip bound, but an UNbounded dispatch keeps every
+        # in-flight batch's payload live in HBM until its execution
+        # retires (OOM risk on the bank-less path, where whole
+        # spectrogram payloads ride each step; with a bank the in-flight
+        # inputs are just int32 indices and the window can be deep)
+        depth = 32 if bank is not None else 4
         thresholds, means, stds = [], [], []
         all_u, all_ok = [], []
-        for u, ok in jax.device_get(pending):
-            u = np.asarray(u).ravel()
-            ok = np.asarray(ok).ravel()
-            all_u.append(u)
-            all_ok.append(ok)
-            means.append(u.mean())
-            stds.append(u.std())
-            correct = u[ok]
-            if correct.size:
-                thresholds.append(np.quantile(correct, 0.95))
+
+        def drain(pending):
+            for u, ok in jax.device_get(pending):
+                u = np.asarray(u).ravel()
+                ok = np.asarray(ok).ravel()
+                all_u.append(u)
+                all_ok.append(ok)
+                means.append(u.mean())
+                stds.append(u.std())
+                correct = u[ok]
+                if correct.size:
+                    thresholds.append(np.quantile(correct, 0.95))
+            pending.clear()
+
+        pending = []
+        for batch in loader.epoch(0):
+            pending.append(step(variables, shard_batch(batch, mesh), bank))
+            if len(pending) >= depth:
+                drain(pending)
+        drain(pending)
         if dump_path:
             np.savez(dump_path, uncertains=np.asarray(all_u, dtype=object),
                      is_corrects=np.asarray(all_ok, dtype=object))

@@ -330,12 +330,21 @@ class RENet(MethodBase):
 
         if flat is not None:
             # auxiliary global CE over the flat batch, through the same
-            # encode (emb_func → SCR residual) and fc (renet.py:443-447)
+            # encode (emb_func → SCR residual) and fc (renet.py:443-447).
+            # The reference runs the episodic and flat forwards
+            # SEQUENTIALLY through the same in-place modules, so BN
+            # running stats update twice per step with compounding
+            # momentum — start the flat pass from the episodic pass's
+            # updated collections; the final merge then composes rather
+            # than overwrites.
+            vars_seq = (
+                self.merge_updates(variables, updates) if updates else variables
+            )
             g_feat, upd_g = self.apply_module(
-                variables, "emb_func", flat.data, train=True, rng=rng
+                vars_seq, "emb_func", flat.data, train=True, rng=rng
             )
             g_ref, upd_s = self.apply_module(
-                variables, "scr", g_feat.transpose(0, 2, 3, 1), train=True,
+                vars_seq, "scr", g_feat.transpose(0, 2, 3, 1), train=True,
                 rng=rng,
             )
             g_pooled = g_ref.mean(axis=(1, 2))  # GAP over (h, w) — NHWC

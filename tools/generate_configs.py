@@ -60,9 +60,12 @@ METHODS = {
         {"episode_size": 2}),
     "anil": ({"name": "ANIL", "kwargs": {"inner_param": {
         "lr": 0.01, "train_iter": 5, "test_iter": 10}}}, CONV, {}),
-    "boil": ({"name": "BOIL", "kwargs": {"inner_param": {
-        "lr": 0.01, "extractor_lr": 0.01, "classifier_lr": 0.0,
-        "train_iter": 5, "test_iter": 1}}}, CONV, {}),
+    # mirrors reference config/classifiers/BOIL.yaml exactly: equal inner
+    # LRs, NIL eval, and NO train_iter override (the reference trains with
+    # a single inner step, boil.py:126-135 — see heads/maml.py BOIL)
+    "boil": ({"name": "BOIL", "kwargs": {
+        "inner_param": {"extractor_lr": 0.01, "classifier_lr": 0.01},
+        "testing_method": "NIL"}}, CONV, {}),
     "r2d2": ({"name": "R2D2", "kwargs": None}, CONV, {}),
     "leo": ({"name": "LEO", "kwargs": {
         "hid_dim": 64, "kl_weight": 0.001, "encoder_penalty_weight": 1e-9,
