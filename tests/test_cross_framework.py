@@ -243,6 +243,37 @@ def test_e2e_deepbdc_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_dn4_trained_parity(tmp_path):
+    """Trained DN4/Conv64F: local-descriptor top-k metric over feature
+    maps, ragged episodes (reference dn4.py:84-120 — intact repeats
+    path)."""
+    trainer, config = _train_ours(
+        tmp_path, "DN4", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"n_k": 2},
+        epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=12, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_e2e_metabaseline_trained_parity(tmp_path):
+    """Trained MetaBaseline/Conv64F: cosine prototypes × the learned
+    temperature scalar, which must also survive the inverse conversion
+    (meta_baseline.py:54)."""
+    trainer, config = _train_ours(
+        tmp_path, "MetaBaseline", "Conv64F",
+        {"is_flatten": True, "last_pool": True, "maxpool_last2": False,
+         "num_channels": 1},
+        None,
+        epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=12, atol=1e-4,
+                 head_inverter=cfp.invert_metabaseline_head_params)
+
+
+@pytest.mark.slow
 def test_e2e_renet_trained_parity(tmp_path):
     """Trained RENet/Conv64F: the head-ful method — SCR/CCA/fc weights
     inverse-converted alongside the backbone, the reference set_forward

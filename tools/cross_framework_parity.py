@@ -137,11 +137,15 @@ def build_reference_model(
         "ProtoNet": "libfewshot_core.model.metric.proto_net",
         "DeepBDC": "libfewshot_core.model.metric.deepbdc",
         "RENet": "libfewshot_core.model.finetuning.renet",
+        "DN4": "libfewshot_core.model.metric.dn4",
+        "MetaBaseline": "libfewshot_core.model.metric.meta_baseline",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
         emb_func=emb, device="cpu",
     )
+    if method == "DN4":
+        kwargs["n_k"] = (cls_kwargs or {}).get("n_k", 3)
     if method == "RENet":
         ck = dict(cls_kwargs or {})
         kwargs.update(
@@ -174,6 +178,13 @@ def build_reference_model(
         )
     model.eval()
     return model
+
+
+def invert_metabaseline_head_params(variables) -> Dict[str, np.ndarray]:
+    """MetaBaseline's single learnable temperature scalar
+    (heads/meta_baseline.py ``head/temp`` ↔ reference ``self.temp``,
+    meta_baseline.py:54)."""
+    return {"temp": np.asarray(variables["params"]["head"]["temp"])}
 
 
 def invert_renet_head_params(variables) -> Dict[str, np.ndarray]:
