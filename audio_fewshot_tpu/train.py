@@ -113,6 +113,21 @@ class Trainer:
             self.n_devices,
             self.mesh.devices.ravel()[0].platform,
         )
+        # dual-loader training (dataloader_num 2, e.g. RENet) shards the
+        # flat companion batch along its batch axis with the same P('data')
+        # spec — a batch_size not divisible by the mesh fails at
+        # device_put, so round it down (min one sample per device) loudly
+        if (int(config.get("dataloader_num", 1)) > 1
+                and self.method.model_type != ModelType.FINETUNING):
+            bs = int(config.get("batch_size", 128))
+            if bs % self.n_devices:
+                new_bs = max(self.n_devices, (bs // self.n_devices) * self.n_devices)
+                self.logger.warning(
+                    "dual-loader batch_size %d is not divisible by the "
+                    "%d-device mesh — using %d (the flat companion batch "
+                    "shards along its batch axis)", bs, self.n_devices, new_bs,
+                )
+                config["batch_size"] = new_bs
 
         self.train_loader = get_dataloader(
             config, "train", self.method.model_type, False, config.get("modality", "audio")

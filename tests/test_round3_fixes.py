@@ -262,3 +262,40 @@ class TestFEATReferenceRecipe:
         attn = SetAttention(hdim=64)
         assert attn.attn_dropout == 0.1
         assert attn.dropout == 0.5
+
+
+class TestDualLoaderSharding:
+    """The flat companion batch shards along its batch axis with the same
+    P('data') spec as episodes — a batch_size not divisible by the mesh
+    used to fail at device_put; the trainer now rounds it down loudly."""
+
+    def test_dual_loader_trains_on_multi_device_mesh(self, tmp_path):
+        from audio_fewshot_tpu.train import Trainer
+
+        config = {
+            "data_root": "synthetic:6:8", "spec_shape": (1, 16, 15),
+            "modality": "audio", "mean_std_file": None,
+            "backbone": {"name": "Conv64F", "kwargs": {
+                "is_flatten": False, "last_pool": False,
+                "maxpool_last2": False, "num_channels": 1}},
+            "classifier": {"name": "RENet",
+                           "kwargs": {"feat_dim": 64, "num_class": 6}},
+            "optimizer": {"name": "Adam", "kwargs": {"lr": 1e-3},
+                          "other": None},
+            "lr_scheduler": {"name": "StepLR",
+                             "kwargs": {"gamma": 1.0, "step_size": 10}},
+            "way_num": 2, "shot_num": 1, "query_num": 2,
+            "test_way": 2, "test_shot": 1, "test_query": 2,
+            "episode_size": 4, "train_episode": 4, "test_episode": 4,
+            "epoch": 1, "test_epoch": 1, "val_per_epoch": 10,
+            "save_interval": 100, "log_interval": 1000, "seed": 0,
+            "precision": "fp32", "result_root": str(tmp_path),
+            "prefetch": 0, "warmup": 0, "augment_times": 1,
+            "max_segments_per_clip": 1, "device_data_bank": False,
+            # 10 % 4 != 0 — must round down to 8, not crash at device_put
+            "dataloader_num": 2, "batch_size": 10,
+        }
+        tr = Trainer(0, config)
+        assert tr.mesh.devices.size > 1  # conftest's 8 virtual CPU devices
+        assert config["batch_size"] % tr.mesh.devices.size == 0
+        tr.train_loop(0)
