@@ -127,3 +127,80 @@ def test_eval_accuracy_matches_across_mesh_sizes():
     np.testing.assert_array_equal(
         np.argmax(logits1, axis=-1), np.argmax(logits8, axis=-1)
     )
+
+
+def _renet_dual_batches(n_steps, episodes=8):
+    from audio_fewshot_tpu.episode import DualBatch, FlatBatch
+
+    rng = np.random.default_rng(1)
+    spec = (1, 24, 30)
+    out = []
+    for _ in range(n_steps):
+        sup = rng.normal(size=(episodes, 3 * 2) + spec).astype(np.float32)
+        qry = rng.normal(size=(episodes, 3 * 2) + spec).astype(np.float32)
+        gt = rng.integers(0, 6, size=(episodes, 3 * 4)).astype(np.int32)
+        ep = make_dense_episode_batch(sup, qry, 3, 2, 2, global_target=gt)
+        flat = FlatBatch(
+            data=rng.normal(size=(16,) + spec).astype(np.float32),
+            target=rng.integers(0, 6, size=(16,)).astype(np.int32),
+        )
+        out.append(DualBatch(episode=ep, flat=flat))
+    return out
+
+
+def _run_renet(n_devices, batches):
+    config = _config()
+    config["classifier"] = {"name": "RENet",
+                            "kwargs": {"feat_dim": 64, "num_class": 6}}
+    method = build_method(config)
+    setting = train_setting(config)
+    optimizer = build_optimizer(config)
+    mesh = get_mesh(n_devices)
+
+    init_batch = batches[0].episode
+    variables = method.init_variables(jax.random.PRNGKey(0), init_batch, setting)
+    variables = jax.device_put(variables, replicate(mesh))
+    opt_state = jax.device_put(optimizer.init(variables["params"]), replicate(mesh))
+    lr_groups = optimizer.lr_tree(variables["params"], 1.0)
+
+    def train_step(variables, opt_state, batch, lr_groups, step_rng):
+        non_params = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            return method.loss(
+                {**non_params, "params": params}, batch, setting, step_rng
+            )
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        params, opt_state = optimizer.apply(
+            grads, opt_state, variables["params"], lr_groups
+        )
+        new_vars = {**non_params, "params": params}
+        if out.updates:
+            new_vars = method.merge_updates(new_vars, out.updates)
+        return new_vars, opt_state, loss
+
+    step = jax.jit(train_step)
+    losses = []
+    for batch in batches:
+        dev_batch = shard_batch(batch, mesh)
+        variables, opt_state, loss = step(
+            variables, opt_state, dev_batch, lr_groups, jax.random.PRNGKey(7)
+        )
+        losses.append(float(jax.device_get(loss)))
+    return losses
+
+
+def test_renet_dual_loader_matches_across_mesh_sizes():
+    """The dual-loader (dataloader_num 2) step — episodic + flat companion
+    both sharded, masked batch-stat BNs inside the CCA — must compute the
+    same losses on the 8-device mesh as on 1 device (GSPMD turns the BN
+    batch reductions into global collectives; a per-shard reduction would
+    diverge O(1))."""
+    assert len(jax.devices()) >= 8
+    batches = _renet_dual_batches(2)
+    losses1 = _run_renet(1, batches)
+    losses8 = _run_renet(8, batches)
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-4, atol=1e-5)
