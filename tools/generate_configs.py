@@ -42,9 +42,13 @@ METHODS = {
             R12, {"_no_flatten": True}),
     "convmnet": ({"name": "ConvMNet", "kwargs": None}, CONV,
                  {"_no_flatten": True}),
-    "dsn": ({"name": "DSN", "kwargs": {"discriminative": False}}, R12, {}),
-    "feat": ({"name": "FEAT", "kwargs": {"hdim": 640, "temperature": 64,
-                                         "temperature2": 16, "balance": 0.1,
+    # reference config/dsn.yaml ships discriminative: True
+    "dsn": ({"name": "DSN", "kwargs": {"discriminative": True}}, R12, {}),
+    # temperature/balance mirror the reference's shipped audio recipe
+    # (config/feat.yaml:17-22) — the image-paper values (64/16/0.1)
+    # underfit under the reference's inverted loss weighting (feat.py:230)
+    "feat": ({"name": "FEAT", "kwargs": {"hdim": 640, "temperature": 1.0,
+                                         "temperature2": 1.0, "balance": 0.5,
                                          "mode": "euclidean"}}, R12, {}),
     "frn": ({"name": "FRN", "kwargs": None}, R12, {"_no_flatten": True}),
     "deepbdc": ({"name": "DeepBDC", "kwargs": None}, BDC, {}),
@@ -70,15 +74,17 @@ METHODS = {
     "leo": ({"name": "LEO", "kwargs": {
         "hid_dim": 64, "kl_weight": 0.001, "encoder_penalty_weight": 1e-9,
         "orthogonality_penalty_weight": 1e-3,
-        "inner_para": {"iter": 5, "lr": 1.0, "finetune_iter": 5,
-                       "finetune_lr": 0.001}}}, CONV, {}),
-    "versa": ({"name": "VERSA", "kwargs": {"sample_num": 10,
-                                           "d_theta": 256}}, CONV, {}),
+        # inner LRs mirror reference config/leo_*.yaml (both 1e-2)
+        "inner_para": {"iter": 5, "lr": 0.01, "finetune_iter": 5,
+                       "finetune_lr": 0.01}}}, CONV, {}),
+    "versa": ({"name": "VERSA", "kwargs": {"sample_num": 10, "d_theta": 256,
+                                           "drop_rate": 0.5}}, CONV, {}),
     "mtl": ({"name": "MTL", "kwargs": {"inner_param": {
         "iter": 100, "lr": 0.01}}},
         "backbones/resnet12.yaml", {}),
+    # test_iter 5 mirrors reference config/metal.yaml
     "metal": ({"name": "MeTAL", "kwargs": {"inner_param": {
-        "lr": 0.01, "train_iter": 5, "test_iter": 10}}}, CONV, {}),
+        "lr": 0.01, "train_iter": 5, "test_iter": 5}}}, CONV, {}),
     "ifsl": ({"name": "DMatchingNet", "kwargs": {"ifsl_param": {
         "n_splits": 4, "class_num": 25, "temp": 10.0}}}, CONV, {}),
     # finetuning family
@@ -92,8 +98,9 @@ METHODS = {
             "inner_train_iter": 20, "inner_batch_size": 4,
             "inner_optim": {"lr": 0.01, "momentum": 0.9}}}}, CONV, {}),
     "rfs": ({"name": "RFSModel", "kwargs": {"num_class": 25}}, R12, {}),
-    "skd": ({"name": "SKDModel", "kwargs": {"num_class": 25,
-                                            "gamma": 2.0}}, R12, {}),
+    # gamma/alpha mirror reference config/skd.yaml (1.0 / 0.1)
+    "skd": ({"name": "SKDModel", "kwargs": {"num_class": 25, "gamma": 1.0,
+                                            "alpha": 0.1}}, R12, {}),
     "negnet": ({"name": "NegNet", "kwargs": {"num_class": 25,
                                              "margin": -0.01}}, R12, {}),
     "renet": ({"name": "RENet", "kwargs": {"feat_dim": 640,
