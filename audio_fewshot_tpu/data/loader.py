@@ -73,7 +73,20 @@ def resolve_data_sources(config: Dict[str, Any], mode: str) -> Tuple[str, Option
         if config.get("ood_data_root"):
             data_root = str(config["ood_data_root"])
         else:
-            data_root = re.sub(r"KOS_[0-9.]+_alpha", "KOS_0_alpha", data_root)
+            redirected = re.sub(r"KOS_[0-9.]+_alpha", "KOS_0_alpha", data_root)
+            if not re.search(r"KOS_[0-9.]+_alpha", data_root) \
+                    and parse_synthetic_root(data_root) is None \
+                    and os.path.isdir(data_root):
+                # a silent no-op here would report the IID number as the
+                # OOD number — fail loudly (synthetic roots shift their
+                # generator seed instead, build_dataset below)
+                raise ValueError(
+                    f"ood: true but data_root {data_root!r} has no "
+                    "KOS_<alpha>_alpha component to redirect and no "
+                    "ood_data_root is set — the test split would silently "
+                    "be the IID one"
+                )
+            data_root = redirected
         if config.get("ood_mean_std_file"):
             mean_std = config["ood_mean_std_file"]
     return data_root, mean_std
@@ -92,7 +105,11 @@ def build_dataset(config: Dict[str, Any], mode: str) -> SpectrogramDataset:
     if syn is not None:
         sizes = {"train": syn["num_classes"], "val": 5, "test": 8}
         offsets = {"train": 0, "val": sizes["train"], "test": sizes["train"] + 5}
-        max_seg = 1 if mode == "train" else int(config.get("max_segments_per_clip", 8))
+        # 0 is the on-disk loader's "unlimited" sentinel; the synthetic
+        # generator needs a concrete positive cap
+        max_seg = 1 if mode == "train" else (
+            int(config.get("max_segments_per_clip") or 8)
+        )
         spec_shape = tuple(config.get("spec_shape") or (1, 128, seg_frames))
         # synthetic OOD twin: same classes, shifted generator seed — a
         # distribution shift standing in for the spurious-correlation variant

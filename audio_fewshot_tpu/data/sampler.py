@@ -43,6 +43,19 @@ class EpisodicSampler:
         self.episodes_per_epoch = episodes_per_epoch
         self.episode_size = episode_size
         self.seed = seed
+        if episodes_per_epoch % episode_size:
+            # the reference asserts divisibility (trainer.py:724-754); we
+            # round down but must not do it silently — the reported CI
+            # would quietly cover fewer episodes than configured
+            import warnings
+
+            dropped = episodes_per_epoch % episode_size
+            warnings.warn(
+                f"episodes_per_epoch={episodes_per_epoch} is not divisible "
+                f"by episode_size={episode_size}: the trailing {dropped} "
+                f"episode(s) per epoch are dropped",
+                stacklevel=2,
+            )
         need = shot + query
         eligible = np.nonzero(self.counts >= need)[0]
         if len(eligible) < way:

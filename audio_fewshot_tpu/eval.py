@@ -22,9 +22,8 @@ import numpy as np
 from .data import get_dataloader
 from .models import build_method, eval_setting
 from .models.base import EpisodeSetting, MethodBase
-from .parallel import get_mesh, replicate, shard_batch
+from .parallel import get_mesh, replicate
 from .utils import (
-    TensorboardWriter,
     init_logger,
     init_seed,
     load_variables,
@@ -92,8 +91,17 @@ class Test:
             ),
         )
 
-        self.val_loader = get_dataloader(
-            config, "val", self.method.model_type, False, config.get("modality", "audio")
+        # the val split only feeds the energy-OOD calibration pass — for
+        # methods without it, loading the split (and later shipping its
+        # segment bank to HBM, where it competes with the test bank for
+        # the device_data_bank budget) is pure waste
+        self._needs_val = getattr(self.method, "supports_energy_ood", False)
+        self.val_loader = (
+            get_dataloader(
+                config, "val", self.method.model_type, False,
+                config.get("modality", "audio"),
+            )
+            if self._needs_val else None
         )
         self.test_loader = get_dataloader(
             config, "test", self.method.model_type, False, config.get("modality", "audio")
@@ -110,9 +118,12 @@ class Test:
 
         self.enhance_via_energy = bool(config.get("enhance_classification_via_energy", False))
         self.num_augmentations = int(config.get("num_augmentations", 10))
+        # max_segments_per_clip: 0 is the loader's "unlimited" sentinel —
+        # the TTA segment cap must stay positive (it sizes a static axis)
         self.tta_segments_per_clip = int(
             config.get("tta_segments_per_clip")
-            or config.get("max_segments_per_clip", 8)
+            or config.get("max_segments_per_clip")
+            or 8
         )
         self.tta_mean, self.tta_std = 0.0, 1.0
 
@@ -136,10 +147,14 @@ class Test:
         """Device-resident eval corpus — see data/bank.py."""
         from .data.bank import setup_segment_banks
 
+        loaders = [self.test_loader[0]]
+        if self.val_loader is not None:
+            loaders.insert(0, self.val_loader[0])
         banks = setup_segment_banks(
-            self.config, [self.val_loader[0], self.test_loader[0]],
-            self.mesh, self.transfer_dtype, self.logger,
+            self.config, loaders, self.mesh, self.transfer_dtype, self.logger,
         )
+        if self.val_loader is None:
+            return None, banks[0]
         return banks[0], banks[1]
 
     def _eval_step(self, variables, batch, bank, setting: EpisodeSetting):
@@ -177,14 +192,16 @@ class Test:
         from .utils.aggregate import clip_vote_counts
 
         method = self.method
-        sup_f, qry_f, _ = method.embed(variables, batch, train=False)
-        if getattr(method, "use_bpa", False):
+        sup_raw, qry_f, _ = method.embed(variables, batch, train=False)
+        sup_f = sup_raw
+        use_bpa = getattr(method, "use_bpa", False)
+        if use_bpa:
             # mirror forward(): the base votes and the calibration pass ran
             # through the BPA transform — the TTA path must score on the
             # same feature space
             from .models.heads.proto_net import apply_bpa
 
-            sup_f, qry_f = apply_bpa(sup_f, qry_f, batch.query_mask)
+            sup_f, qry_f = apply_bpa(sup_raw, qry_f, batch.query_mask)
         seg_logits = method.feature_logits(sup_f, qry_f, setting)
 
         wq = batch.num_query_clips
@@ -214,7 +231,22 @@ class Test:
         )  # [K*S*M, C, H, W]
         aug_f = method.embed_segments(variables, aug).reshape(k, s_cap * m, -1)
         # each flagged clip scores vs its own episode's support set
-        aug_logits = method.feature_logits(sup_f[ep_idx], aug_f, setting)
+        if use_bpa:
+            # BPA features live in the affinity space of their own joint
+            # [support ‖ query] set — the post-transform support has width
+            # ws+G, incompatible with raw D-dim aug embeddings.  Re-apply
+            # the transform jointly over (raw support, aug segments) per
+            # flagged clip, masking the padded segment slots out of the
+            # transport marginals, and score inside that space.
+            from .models.heads.proto_net import apply_bpa
+
+            aug_mask = jnp.repeat(
+                seg_valid.astype(jnp.float32), m, axis=1
+            )  # [K, S*M]
+            sup_t, aug_t = apply_bpa(sup_raw[ep_idx], aug_f, aug_mask)
+            aug_logits = method.feature_logits(sup_t, aug_t, setting)
+        else:
+            aug_logits = method.feature_logits(sup_f[ep_idx], aug_f, setting)
 
         votes = clip_vote_counts(
             seg_logits, batch.query_clip, batch.query_mask, wq
@@ -267,9 +299,13 @@ class Test:
         # deep pipelining is safe when in-flight step inputs are int32 bank
         # indices; on the bank-less path every pending step keeps its FULL
         # spectrogram payload live in HBM until execution retires, so cap
-        # the window unless the user overrides explicitly
-        default_depth = 32 if self.test_bank is not None else 4
-        queue_depth = int(cfg.get("eval_queue_depth") or default_depth)
+        # the window unless the user overrides explicitly (0 = drain every
+        # step — an explicit 0 must not fall through to the default)
+        configured = cfg.get("eval_queue_depth")
+        queue_depth = (
+            (32 if self.test_bank is not None else 4)
+            if configured is None else int(configured)
+        )
 
         if cfg.get("eval_warmup", True):
             # One discarded execution per DISTINCT batch shape before the
@@ -283,13 +319,17 @@ class Test:
             # visible.
             t0 = time.time()
             buckets = getattr(self.test_loader[0], "segment_bucket_sizes", None)
-            n_expect = max(1, len(buckets)) if buckets else 1
-            # a configured bucket may never occur in the sampled epoch
-            # (tail-cover buckets) — bound the scan so the warmup can't
-            # silently walk (and transfer) the entire test epoch hunting
-            # for a shape that never comes
-            scan_cap = max(8, 4 * n_expect)
+            # with explicit buckets every batch shape is one of them; the
+            # default power-of-two bucketing can produce several distinct
+            # shapes per epoch, so hunt until the shapes stop being new.
+            # Either way bound the scan: a tail-cover bucket may never
+            # occur in the sampled epoch, and the warmup must not silently
+            # walk (and transfer) the whole test epoch hunting for it
+            n_expect = max(1, len(buckets)) if buckets else None
+            scan_cap = max(8, 4 * (n_expect or 2))
+            stale_stop = 3  # unbucketed: stop after 3 batches with no new shape
             scanned = 0
+            stale = 0
             seen: set = set()
             for wb in transfer_ahead(
                 self.test_loader[0].epoch(0), self.mesh, self.transfer_dtype
@@ -299,9 +339,15 @@ class Test:
                     getattr(l, "shape", ()) for l in jax.tree_util.tree_leaves(wb)
                 )
                 if key in seen:
-                    if len(seen) >= n_expect or scanned >= scan_cap:
+                    stale += 1
+                    done = (
+                        len(seen) >= n_expect if n_expect is not None
+                        else stale >= stale_stop
+                    )
+                    if done or scanned >= scan_cap:
                         break
                     continue
+                stale = 0
                 seen.add(key)
                 if energy:
                     out = self._jit_tta_step(
@@ -313,7 +359,9 @@ class Test:
                         self.variables, wb, self.test_bank, self.setting
                     )
                 jax.block_until_ready(out)
-                if len(seen) >= n_expect:
+                if n_expect is not None and len(seen) >= n_expect:
+                    break
+                if scanned >= scan_cap:
                     break
             self.logger.info(
                 "eval step warmed in %.1fs (%d shape(s); compile + "

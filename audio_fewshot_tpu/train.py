@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -26,31 +25,21 @@ import numpy as np
 
 from .config import save_config
 from .data import get_dataloader
-from .episode import EpisodeBatch
 from .models import build_method, eval_setting, train_setting
 from .models.base import EpisodeSetting, MethodBase, ModelType
 from .optim import Optimizer, LRScheduler, build_optimizer, build_scheduler
-from .parallel import (
-    batch_sharding,
-    get_mesh,
-    maybe_init_distributed,
-    replicate,
-    shard_batch,
-)
+from .parallel import get_mesh, maybe_init_distributed, replicate
 from .utils import (
     AverageMeter,
     SaveType,
     TensorboardWriter,
-    get_logger,
     init_logger,
     init_seed,
     load_last,
     load_part,
-    load_variables,
     mean_confidence_interval,
     save_model,
 )
-from .utils.checkpoint import save_variables
 
 
 def enable_compilation_cache(config: Dict[str, Any]) -> None:

@@ -123,3 +123,32 @@ def test_energy_tta_eval_path(tmp_path):
     test = Test(0, config, result_path=None)
     mean, ci = test.test_loop()
     assert np.isfinite(mean) and mean > 0.0
+
+
+def test_energy_tta_eval_path_with_bpa(tmp_path):
+    """use_bpa + energy TTA used to crash at trace time: BPA features live
+    in the affinity space of their own [support ‖ query] set (width ws+G),
+    so the raw-dim augmented embeddings could not score against the
+    transformed support — the TTA path now re-applies the transform
+    jointly over (raw support, augmented segments) per flagged clip."""
+    from audio_fewshot_tpu.eval import Test
+
+    config = {
+        "data_root": "synthetic:8:10",
+        "spec_shape": (1, 32, 24),
+        "modality": "audio",
+        "backbone": {"name": "Conv64F", "kwargs": {
+            "is_flatten": False, "last_pool": False, "maxpool_last2": False,
+            "num_channels": 1}},
+        "classifier": {"name": "DeepBDC", "kwargs": {"use_bpa": True}},
+        "way_num": 3, "shot_num": 2, "query_num": 3,
+        "test_way": 3, "test_shot": 2, "test_query": 3,
+        "episode_size": 2, "train_episode": 4, "test_episode": 4,
+        "test_epoch": 1, "seed": 0, "precision": "fp32",
+        "prefetch": 0, "max_segments_per_clip": 2,
+        "enhance_classification_via_energy": True,
+        "num_augmentations": 4,
+    }
+    test = Test(0, config, result_path=None)
+    mean, ci = test.test_loop()
+    assert np.isfinite(mean) and mean > 0.0
