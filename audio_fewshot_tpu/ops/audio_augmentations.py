@@ -69,9 +69,14 @@ def _q(x: jnp.ndarray, q) -> jnp.ndarray:
 # -- augmentations -----------------------------------------------------------
 
 def random_cutout(rng, spec, num_cutouts: int = 1,
-                  cutout_size_ratio=(0.1, 0.3), fill_value: float = 0.0):
+                  cutout_size_ratio=(0.1, 0.3), fill_value: float = 0.0,
+                  active_count=None):
     """Mask random rectangles (reference :56-104).  The cutout is shared
-    across leading axes of one sample, matching the 4D reference path."""
+    across leading axes of one sample, matching the 4D reference path.
+
+    ``active_count`` (traced int ≤ the static ``num_cutouts``) lets the
+    dispatcher draw the reference's per-call ``randint(1, 3)`` cutout count
+    without recompiling: cutouts beyond it become no-ops."""
     h, w = spec.shape[-2:]
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -83,11 +88,16 @@ def random_cutout(rng, spec, num_cutouts: int = 1,
                                 maxval=cutout_size_ratio[1])
         ch = (h * rh).astype(jnp.int32)
         cw = (w * rw).astype(jnp.int32)
-        top = jax.random.randint(k3, (), 0, jnp.maximum(h - ch, 1))
-        left = jax.random.randint(k4, (), 0, jnp.maximum(w - cw, 1))
+        # torch random.randint is INCLUSIVE of h-ch (reference :92-93) —
+        # jax maxval is exclusive, so +1 or the cutout can never sit flush
+        # with the bottom/right edge
+        top = jax.random.randint(k3, (), 0, jnp.maximum(h - ch + 1, 1))
+        left = jax.random.randint(k4, (), 0, jnp.maximum(w - cw + 1, 1))
         inside = (
             (rows >= top) & (rows < top + ch) & (cols >= left) & (cols < left + cw)
         )
+        if active_count is not None:
+            inside = inside & (i < active_count)
         spec = jnp.where(inside, fill_value, spec)
     return spec
 
@@ -163,7 +173,15 @@ def adaptive_noise_profile_matching(rng, spec, target_noise_level=0.1,
         )
         noise = _box_filter_1d(padded, smoothing_window)
     current = jnp.mean(noise, axis=(-2, -1), keepdims=True)
-    scale = jnp.clip(target_noise_level / (current + 1e-8), 0.5, 2.0)
+    # the reference leaves the spectrogram untouched when the estimated
+    # floor is ~zero (scale=1.0 if current <= 1e-8, :437-442) — without
+    # this, silent/padded inputs would have their background DOUBLED by
+    # the clip ceiling
+    scale = jnp.where(
+        current > 1e-8,
+        jnp.clip(target_noise_level / (current + 1e-8), 0.5, 2.0),
+        1.0,
+    )
     thr = _q(a, 0.3)
     signal_mask = jax.nn.sigmoid((a - thr) / (thr * 0.1 + 1e-8))
     return spec * (signal_mask + (1.0 - signal_mask) * scale)
@@ -193,29 +211,97 @@ def apply_linear_filteraugment(rng, spec, num_points: int = 4,
     return spec * curve[..., :, None]
 
 
+# Per-call hyperparameter sampling — the reference dispatcher draws every
+# strength/percentile fresh from these ranges on each call (:559-597); a
+# fixed midpoint would narrow the augmentation distribution models train
+# under.  Continuous params trace straight through; structurally-static
+# ones (linear-filter breakpoint count, smoothing window) pick a compiled
+# branch via an inner lax.switch.
+
+
+def _u(key, lo, hi):
+    return jax.random.uniform(key, (), minval=lo, maxval=hi)
+
+
+def _aug_cutout(rng, s):
+    k_n, k = jax.random.split(rng)
+    n = jax.random.randint(k_n, (), 1, 4)  # reference randint(1, 3) inclusive
+    return random_cutout(k, s, num_cutouts=3, cutout_size_ratio=(0.1, 0.3),
+                         active_count=n)
+
+
+def _aug_linear_filter(rng, s):
+    k_n, k_s, k = jax.random.split(rng, 3)
+    strength = _u(k_s, 0.3, 0.7)
+    idx = jax.random.randint(k_n, (), 0, 4)  # num_points randint(3, 6) incl.
+    return jax.lax.switch(
+        idx,
+        [partial(
+            lambda k, s, st, p: apply_linear_filteraugment(
+                k, s, num_points=p, filter_strength=st), p=p)
+         for p in (3, 4, 5, 6)],
+        k, s, strength,
+    )
+
+
+def _aug_noise_suppression(rng, s):
+    k1, k2, k = jax.random.split(rng, 3)
+    return background_noise_suppression(
+        k, s, noise_percentile=_u(k1, 15.0, 25.0),
+        suppression_strength=_u(k2, 0.4, 0.7),
+    )
+
+
+def _aug_noise_matching(rng, s):
+    k_w, k = jax.random.split(rng)
+    idx = jax.random.randint(k_w, (), 0, 3)  # smoothing choice([3, 5, 7])
+    return jax.lax.switch(
+        idx,
+        [partial(
+            lambda k, s, w: adaptive_noise_profile_matching(
+                k, s, smoothing_window=w), w=w)
+         for w in (3, 5, 7)],
+        k, s,
+    )
+
+
+def _aug_background_subtraction(rng, s):
+    k1, k = jax.random.split(rng)
+    return temporal_median_background_subtraction(
+        k, s, percentile=_u(k1, 5.0, 15.0)
+    )
+
+
+def _aug_contrast(rng, s):
+    k1, k2, k = jax.random.split(rng, 3)
+    return spectral_contrast_enhancement(
+        k, s, contrast_factor=_u(k1, 1.3, 2.0),
+        clip_percentile=_u(k2, 90.0, 98.0),
+    )
+
+
+def _aug_foreground_norm(rng, s):
+    k1, k = jax.random.split(rng)
+    return foreground_energy_normalization(k, s, top_k_percent=_u(k1, 15.0, 25.0))
+
+
+def _aug_wiener(rng, s):
+    k1, k2, k = jax.random.split(rng, 3)
+    return wiener_like_filtering(
+        k, s, noise_floor_percentile=_u(k1, 10.0, 20.0),
+        gain_factor=_u(k2, 1.5, 2.5),
+    )
+
+
 _AUG_FNS = {
-    "cutout": lambda rng, s: random_cutout(
-        rng, s, num_cutouts=2, cutout_size_ratio=(0.1, 0.3)
-    ),
-    "linear_filter": lambda rng, s: apply_linear_filteraugment(
-        rng, s, num_points=4, filter_strength=0.5
-    ),
-    "noise_suppression": lambda rng, s: background_noise_suppression(
-        rng, s, noise_percentile=20.0, suppression_strength=0.55
-    ),
-    "noise_matching": lambda rng, s: adaptive_noise_profile_matching(rng, s),
-    "background_subtraction": lambda rng, s: temporal_median_background_subtraction(
-        rng, s, percentile=10.0
-    ),
-    "contrast_enhancement": lambda rng, s: spectral_contrast_enhancement(
-        rng, s, contrast_factor=1.65, clip_percentile=94.0
-    ),
-    "foreground_norm": lambda rng, s: foreground_energy_normalization(
-        rng, s, top_k_percent=20.0
-    ),
-    "wiener_filter": lambda rng, s: wiener_like_filtering(
-        rng, s, noise_floor_percentile=15.0, gain_factor=2.0
-    ),
+    "cutout": _aug_cutout,
+    "linear_filter": _aug_linear_filter,
+    "noise_suppression": _aug_noise_suppression,
+    "noise_matching": _aug_noise_matching,
+    "background_subtraction": _aug_background_subtraction,
+    "contrast_enhancement": _aug_contrast,
+    "foreground_norm": _aug_foreground_norm,
+    "wiener_filter": _aug_wiener,
 }
 
 

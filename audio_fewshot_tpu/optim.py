@@ -27,21 +27,36 @@ import optax  # noqa: E402
 # -- core gradient transforms (LR applied separately) ------------------------
 
 def _add_decayed_weights_where_trained(wd: float) -> optax.GradientTransformation:
-    """Coupled weight decay that SKIPS leaves with identically-zero
-    gradients.  torch optimizers never see frozen (``requires_grad=False``)
-    params at all; here "frozen" surfaces as structurally-zero grads
+    """Coupled weight decay that SKIPS structurally-frozen leaves.  torch
+    optimizers never see frozen (``requires_grad=False``) params at all;
+    here "frozen" surfaces as identically-zero grads EVERY step
     (``stop_gradient`` — MtlConv base kernels, LEO's frozen backbone), and
     plain ``add_decayed_weights`` would silently decay those pretrained
-    weights toward zero."""
+    weights toward zero.
+
+    The gate is "has this leaf EVER produced a nonzero gradient" (one bool
+    per leaf in the optimizer state), not the current step's gradient — a
+    TRAINED leaf that is transiently all-zero (e.g. a dead ReLU filter)
+    must keep decaying like torch does."""
+
+    def init(params):
+        return {
+            "seen_nonzero": jax.tree_util.tree_map(
+                lambda p: jnp.zeros((), bool), params
+            )
+        }
 
     def update(updates, state, params=None):
-        new = jax.tree_util.tree_map(
-            lambda g, p: g + wd * p * jnp.any(g != 0).astype(p.dtype),
-            updates, params,
+        seen = jax.tree_util.tree_map(
+            lambda s, g: s | jnp.any(g != 0), state["seen_nonzero"], updates
         )
-        return new, state
+        new = jax.tree_util.tree_map(
+            lambda g, p, s: g + wd * p * s.astype(p.dtype),
+            updates, params, seen,
+        )
+        return new, {"seen_nonzero": seen}
 
-    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+    return optax.GradientTransformation(init, update)
 
 
 def _core_transform(name: str, kwargs: Dict[str, Any]) -> Tuple[optax.GradientTransformation, float]:
@@ -147,6 +162,7 @@ class LRScheduler:
         self._plateau_scale = 1.0
         self._best: Optional[float] = None
         self._bad = 0
+        self._cooldown = 0
 
     def _base_scale(self, epoch: int) -> float:
         k = self.kwargs
@@ -161,13 +177,14 @@ class LRScheduler:
             return float(k.get("gamma", 0.95)) ** epoch
         if name == "CosineAnnealingLR":
             t_max = int(k.get("T_max", self.epochs or 1))
-            eta_min = float(k.get("eta_min", 0.0))
-            # relative form: eta_min treated as absolute only w.r.t. base
-            # lr=1.  NO clamp at T_max — torch's closed form is periodic
-            # (the LR climbs back up past T_max), and reference runs do
-            # exceed T_max epochs
+            # torch's eta_min is an ABSOLUTE LR floor — convert to a scale
+            # against the optimizer's base LR (same convention as the
+            # plateau min_lr below).  NO clamp at T_max — torch's closed
+            # form is periodic (the LR climbs back up past T_max), and
+            # reference runs do exceed T_max epochs
+            eta_scale = float(k.get("eta_min", 0.0)) / self.base_lr
             cos = 0.5 * (1 + math.cos(math.pi * epoch / max(t_max, 1)))
-            return eta_min + (1.0 - eta_min) * cos
+            return eta_scale + (1.0 - eta_scale) * cos
         if name == "ConstantLR" or name is None:
             return 1.0
         if name == "LambdaLR":
@@ -199,23 +216,38 @@ class LRScheduler:
             return
         k = self.kwargs
         mode = k.get("mode", "min")
-        better = (
-            self._best is None
-            or (mode == "min" and metric < self._best - float(k.get("threshold", 1e-4)))
-            or (mode == "max" and metric > self._best + float(k.get("threshold", 1e-4)))
-        )
+        thr = float(k.get("threshold", 1e-4))
+        # torch's DEFAULT threshold_mode is 'rel': improvement relative to
+        # the best metric's magnitude, not an absolute margin
+        rel = str(k.get("threshold_mode", "rel")) == "rel"
+        if self._best is None:
+            better = True
+        elif mode == "min":
+            bar = self._best * (1.0 - thr) if rel else self._best - thr
+            better = metric < bar
+        else:
+            bar = self._best * (1.0 + thr) if rel else self._best + thr
+            better = metric > bar
         if better:
             self._best = metric
             self._bad = 0
-        else:
-            self._bad += 1
-            if self._bad > int(k.get("patience", 10)):
-                factor = float(k.get("factor", 0.1))
-                # torch min_lr is an ABSOLUTE learning-rate floor — convert
-                # to a scale floor against the optimizer's base LR
-                min_scale = float(k.get("min_lr", 0.0)) / self.base_lr
-                self._plateau_scale = max(self._plateau_scale * factor, min_scale)
-                self._bad = 0
+            if self._cooldown:
+                self._cooldown -= 1
+            return
+        if self._cooldown:
+            # torch ignores bad epochs while cooling down after a reduction
+            self._cooldown -= 1
+            self._bad = 0
+            return
+        self._bad += 1
+        if self._bad > int(k.get("patience", 10)):
+            factor = float(k.get("factor", 0.1))
+            # torch min_lr is an ABSOLUTE learning-rate floor — convert
+            # to a scale floor against the optimizer's base LR
+            min_scale = float(k.get("min_lr", 0.0)) / self.base_lr
+            self._plateau_scale = max(self._plateau_scale * factor, min_scale)
+            self._bad = 0
+            self._cooldown = int(k.get("cooldown", 0))
 
     # -- state for resume ---------------------------------------------------
 
@@ -224,12 +256,14 @@ class LRScheduler:
             "plateau_scale": self._plateau_scale,
             "best": self._best,
             "bad": self._bad,
+            "cooldown": self._cooldown,
         }
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
         self._plateau_scale = state.get("plateau_scale", 1.0)
         self._best = state.get("best")
         self._bad = state.get("bad", 0)
+        self._cooldown = state.get("cooldown", 0)
 
 
 def build_optimizer(config: Dict[str, Any]) -> Optimizer:

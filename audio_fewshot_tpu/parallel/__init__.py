@@ -17,12 +17,18 @@ from .mesh import (
     get_mesh,
     maybe_init_distributed,
     replicate,
+    resolve_transfer_dtype,
     shard_batch,
+    transfer_ahead,
+    upcast_floats,
 )
 
 __all__ = [
     "DATA_AXIS",
     "batch_sharding",
+    "resolve_transfer_dtype",
+    "transfer_ahead",
+    "upcast_floats",
     "get_mesh",
     "maybe_init_distributed",
     "replicate",

@@ -596,9 +596,6 @@ def convert_backbone_state_dict(
             "batch_stats": template.get("batch_stats", {}),
         }
     )
-    out = {
-        col: __import__("jax").tree_util.tree_map(np.asarray, tree)
-        for col, tree in out.items()
-    }
+    out = {col: jax_tree_to_numpy(tree) for col, tree in out.items()}
     _CONVERTERS[backbone_name](state, out["params"], out["batch_stats"])
     return out

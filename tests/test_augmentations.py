@@ -152,3 +152,22 @@ def test_energy_tta_eval_path_with_bpa(tmp_path):
     test = Test(0, config, result_path=None)
     mean, ci = test.test_loop()
     assert np.isfinite(mean) and mean > 0.0
+
+
+def test_noise_matching_zero_floor_is_identity():
+    """When the estimated noise floor is ~0 the reference leaves the
+    spectrogram unchanged (scale=1.0, reference audio_augmentations.py:
+    437-442) — the old clipped 0.1/1e-8 ratio DOUBLED every background
+    bin instead."""
+    import jax
+    from audio_fewshot_tpu.ops.audio_augmentations import (
+        adaptive_noise_profile_matching,
+    )
+
+    rng = np.random.default_rng(0)
+    spec = np.abs(rng.normal(1.0, 0.3, size=(1, 16, 12))).astype(np.float32)
+    spec[:, 3, :] = 0.0  # one silent frequency row → per-frame min = 0
+    out = adaptive_noise_profile_matching(
+        jax.random.PRNGKey(0), jnp.asarray(spec), smoothing_window=1
+    )
+    np.testing.assert_allclose(np.asarray(out), spec, atol=1e-6)

@@ -66,3 +66,53 @@ def test_schedule_matches_reference(cfg, warmup):
     ref = ref_lr_sequence(cfg, warmup, epochs)
     ours = ours_lr_sequence(cfg, warmup, epochs)
     np.testing.assert_allclose(ours, ref, rtol=1e-6, err_msg=f"{cfg} w={warmup}")
+
+
+def test_cosine_eta_min_is_absolute_floor():
+    """torch's eta_min is an ABSOLUTE LR, not a fraction of base_lr —
+    pinned against torch.optim.lr_scheduler.CosineAnnealingLR directly
+    (the shipped configs all use 0.0, which masked the old relative
+    interpretation)."""
+    eta_min = 2e-3  # 20% of BASE_LR — a relative reading would give 2e-5
+    t_max = 8
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=BASE_LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=t_max, eta_min=eta_min
+    )
+    ref = []
+    for _ in range(t_max + 1):
+        ref.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+    s = LRScheduler("CosineAnnealingLR", {"T_max": t_max, "eta_min": eta_min},
+                    epochs=t_max + 1, warmup=0, base_lr=BASE_LR)
+    ours = [BASE_LR * s.scale(e) for e in range(t_max + 1)]
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-9)
+    assert abs(ours[t_max] - eta_min) < 1e-9  # the floor is absolute
+
+
+def test_plateau_rel_threshold_and_cooldown_match_torch():
+    """ReduceLROnPlateau parity on torch DEFAULTS (threshold_mode='rel')
+    plus a cooldown, over a crafted metric sequence that distinguishes
+    rel from abs thresholds and exercises the cooldown window."""
+    kwargs = {"mode": "min", "factor": 0.5, "patience": 1,
+              "threshold": 1e-2, "cooldown": 2}
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=BASE_LR)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **kwargs)
+    # 100 -> 99.5 is NOT a rel improvement (needs < 99) but IS an absolute
+    # one; then stagnate to trigger reductions and ride the cooldown
+    metrics = [100.0, 99.5, 99.4, 99.3, 99.2, 99.1, 99.0, 50.0, 49.9, 49.8,
+               49.7, 49.6]
+    ref = []
+    for m in metrics:
+        sched.step(m)
+        ref.append(opt.param_groups[0]["lr"])
+    s = LRScheduler("ReduceLROnPlateau", dict(kwargs), epochs=len(metrics),
+                    warmup=0, base_lr=BASE_LR)
+    ours = []
+    for e, m in enumerate(metrics):
+        s.step(m)
+        ours.append(BASE_LR * s.scale(e + 1))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-12)
