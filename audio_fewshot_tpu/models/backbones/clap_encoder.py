@@ -107,9 +107,16 @@ class CLAPAudioEncoder(nn.Module):
             mel = mel[:, :, :target_t]
         elif t < target_t:
             mel = jnp.pad(mel, ((0, 0), (0, 0), (0, target_t - t)))
-        # [N, F, R, T/R] -> [N, T/R, R, F] -> [N, T/R, R*F]
+        # HTSAT reshape_wav2img: split T chunk-major as (R, T/R), stack the
+        # chunks on the FREQUENCY axis → H = (chunk, freq) of size R·F,
+        # W = time-within-chunk (htsat.py permute(0,1,3,2) → reshape
+        # (B,C,F,R,T/R) → permute(0,1,3,2,4) → (B,C,R·F,T/R)).  The
+        # previous transpose-of-this orientation was harmless for
+        # from-scratch training on the square image but would feed a
+        # converted REAL HTSAT checkpoint a transposed spectrogram.
+        # [N, F, R, T/R] -> [N, R, F, T/R] -> [N, R*F, T/R]
         x = mel.reshape(n, f, self.freq_ratio, self.spec_size)
-        x = x.transpose(0, 3, 2, 1).reshape(n, self.spec_size, self.spec_size)
+        x = x.transpose(0, 2, 1, 3).reshape(n, self.spec_size, self.spec_size)
         return x[:, None, :, :]  # NCHW single channel
 
     @nn.compact

@@ -145,8 +145,7 @@ def conv32f(**kwargs) -> Conv32F:
     return Conv32F(**_clean(kwargs))
 
 
-def _clean(kwargs):
-    return {k: v for k, v in kwargs.items() if v is not None}
+from .layers import clean_kwargs as _clean  # noqa: E402  (shared helper)
 
 
 class R2D2Embedding(nn.Module):

@@ -383,5 +383,4 @@ def resnet12bdc(**kwargs):
     return ResNet12BDC(**_clean(kwargs))
 
 
-def _clean(kwargs):
-    return {k: v for k, v in kwargs.items() if v is not None}
+from .layers import clean_kwargs as _clean  # noqa: E402  (shared helper)

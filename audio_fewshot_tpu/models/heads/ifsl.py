@@ -117,13 +117,19 @@ class DMatchingNet(MethodBase):
             db = MatchingNetLayer(feat_dim=self.d_dim)
             self.modules[f"x_block{j}"] = xb
             self.modules[f"d_block{j}"] = db
+            # the split blocks are structurally identical, so flax's
+            # path-folded keys collide across them — fold the block index
+            # in or the whole ensemble starts with bit-identical weights
+            # (the torch reference draws fresh init per module)
+            kx = jax.random.fold_in(rngs["params"], 2 * j)
+            kd = jax.random.fold_in(rngs["params"], 2 * j + 1)
             sub = xb.init(
-                {"params": rngs["params"]},
+                {"params": kx},
                 jnp.zeros((2, self.split_dim)), jnp.zeros((3, self.split_dim)),
             )
             self._merge_init(variables, f"x_block{j}", sub)
             sub = db.init(
-                {"params": rngs["params"]},
+                {"params": kd},
                 jnp.zeros((2, self.d_dim)), jnp.zeros((3, self.d_dim)),
             )
             self._merge_init(variables, f"d_block{j}", sub)

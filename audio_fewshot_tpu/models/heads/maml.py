@@ -35,9 +35,7 @@ from ...registry import CLASSIFIERS
 from ..base import LossOutput, MethodBase, ModelType, masked_cross_entropy
 
 
-def _ce(logits, targets):
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+from ..losses import cross_entropy as _ce  # noqa: E402  (shared helper)
 
 
 class MAMLBase(MethodBase):
@@ -300,7 +298,10 @@ class BOIL(MAMLBase):
             merged = self._merge_adapted(params, adapted)
             _, sup_f = self._net(merged, batch_stats, sup_x)
             _, qry_f = self._net(merged, batch_stats, qry_x)
-            onehot = jax.nn.one_hot(sup_y, self.way_num, dtype=sup_f.dtype)
+            # the EVAL-time way, not the train config's way_num — the
+            # reference swaps way_num at test via reverse_setting_info, and
+            # NIL drops the head so nothing else pins the class count
+            onehot = jax.nn.one_hot(sup_y, setting.way, dtype=sup_f.dtype)
             proto = (onehot.T @ sup_f) / jnp.maximum(
                 jnp.sum(onehot, axis=0)[:, None], 1.0
             )
