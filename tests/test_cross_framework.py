@@ -274,6 +274,30 @@ def test_e2e_metabaseline_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_can_trained_parity(tmp_path):
+    """Trained CAN/Conv64F: CAM cross-attention metric over ragged
+    episodes, head weights (CAM convs+BN, global classifier) inverse-
+    converted.  The reference's own set_forward is broken as snapshotted
+    (stale 4-value unpack + dense-only one-hot reshape), so the runner
+    drives the intended pipeline per episode — see
+    run_reference_eval_can."""
+    trainer, config = _train_ours(
+        tmp_path, "CAN", "Conv64F",
+        # [1,32,30] → feature map [64,3,3]: hw=9=HW², CAM mid=3
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"scale_cls": 7.0, "num_classes": 8, "nFeat": 64, "HW": 3},
+        epochs=1, train_episode=8,
+    )
+    row = _cross_check(
+        trainer, config, n_batches=12, atol=1e-3,
+        head_inverter=cfp.invert_can_head_params,
+        ref_runner=cfp.run_reference_eval_can,
+    )
+    assert row["episodes"] == 24  # 12 batches × episode_size 2
+
+
+@pytest.mark.slow
 def test_e2e_renet_trained_parity(tmp_path):
     """Trained RENet/Conv64F: the head-ful method — SCR/CCA/fc weights
     inverse-converted alongside the backbone, the reference set_forward

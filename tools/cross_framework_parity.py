@@ -139,6 +139,7 @@ def build_reference_model(
         "RENet": "libfewshot_core.model.finetuning.renet",
         "DN4": "libfewshot_core.model.metric.dn4",
         "MetaBaseline": "libfewshot_core.model.metric.meta_baseline",
+        "CAN": "libfewshot_core.model.metric.can",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -146,6 +147,14 @@ def build_reference_model(
     )
     if method == "DN4":
         kwargs["n_k"] = (cls_kwargs or {}).get("n_k", 3)
+    if method == "CAN":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            scale_cls=ck.get("scale_cls", 7.0),
+            num_classes=ck.get("num_classes", ck.get("num_class", 64)),
+            nFeat=ck.get("nFeat", 64),
+            HW=ck.get("HW", 5),
+        )
     if method == "RENet":
         ck = dict(cls_kwargs or {})
         kwargs.update(
@@ -178,6 +187,102 @@ def build_reference_model(
         )
     model.eval()
     return model
+
+
+def invert_can_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax CAN head params (modules ``cam``/``global_fc``, heads/can.py)
+    → reference torch keys (``cam_layer.cam.conv1/conv2`` + the 1×1-conv
+    global ``cam_layer.classifier``, can.py:188-198).  Inverse of the
+    forward mapping proven by tests/test_torch_parity5.py: flax Dense
+    ``[in, out]`` ↔ torch 1×1 Conv2d ``[out, in, 1, 1]``."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    cam, cs = params["cam"], stats.get("cam", {})
+    out: Dict[str, np.ndarray] = {}
+    k1 = np.asarray(cam["conv1"]["kernel"])
+    out["cam_layer.cam.conv1.conv.weight"] = k1.T[:, :, None, None]
+    out["cam_layer.cam.conv1.conv.bias"] = np.asarray(cam["conv1"]["bias"])
+    bn = cam["bn1"]["BatchNorm_0"]
+    out["cam_layer.cam.conv1.bn.weight"] = np.asarray(bn["scale"])
+    out["cam_layer.cam.conv1.bn.bias"] = np.asarray(bn["bias"])
+    s = cs.get("bn1", {}).get("BatchNorm_0", {})
+    out["cam_layer.cam.conv1.bn.running_mean"] = np.asarray(
+        s.get("mean", np.zeros_like(np.asarray(bn["scale"])))
+    )
+    out["cam_layer.cam.conv1.bn.running_var"] = np.asarray(
+        s.get("var", np.ones_like(np.asarray(bn["scale"])))
+    )
+    k2 = np.asarray(cam["conv2"]["kernel"])
+    out["cam_layer.cam.conv2.weight"] = k2.T[:, :, None, None]
+    out["cam_layer.cam.conv2.bias"] = np.asarray(cam["conv2"]["bias"])
+    kf = np.asarray(params["global_fc"]["kernel"])
+    out["cam_layer.classifier.weight"] = kf.T[:, :, None, None]
+    out["cam_layer.classifier.bias"] = np.asarray(params["global_fc"]["bias"])
+    return out
+
+
+def run_reference_eval_can(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference CAN eval over ragged episodes, driving the INTENDED
+    pipeline directly: ``set_forward`` is broken as snapshotted (stale
+    4-value unpack of the 5-tuple ``split_by_episode``, can.py:356-361,
+    and its dense ``way*query`` one-hot reshape cannot represent ragged
+    query counts).  Intended semantics (can.py:383-389 → CAMLayer.forward
+    eval branch :213-247): per episode, one-hot support prototypes →
+    CAM cross-attention → GAP → scale_cls·cosine; query one-hots are
+    UNUSED at eval.  Clip accuracy via the same majority vote ours uses
+    (tie-break parity pinned in test_torch_parity.py)."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu(), torch.no_grad():
+        for b in batches:
+            sup_np = np.asarray(b.support)
+            qry_np = np.asarray(b.query)
+            clip = np.asarray(b.query_clip)
+            mask = np.asarray(b.query_mask) > 0
+            e = sup_np.shape[0]
+            wq = way * query
+            onehot = np.zeros((way * shot, way), np.float32)
+            onehot[np.arange(way * shot), np.repeat(np.arange(way), shot)] = 1
+            for i in range(e):
+                rows = [qry_np[i][mask[i] & (clip[i] == c)] for c in range(wq)]
+                counts = [r.shape[0] for r in rows]
+                qry_i = np.concatenate(rows, axis=0)
+                feats = model.emb_func(
+                    torch.from_numpy(
+                        np.ascontiguousarray(
+                            np.concatenate([sup_np[i], qry_i], axis=0)
+                        )
+                    )
+                )
+                sup_f = feats[: way * shot][None]
+                qry_f = feats[way * shot:][None]
+                n_i = qry_f.shape[1]
+                scores = model.cam_layer(
+                    sup_f, qry_f,
+                    torch.from_numpy(onehot)[None],
+                    torch.zeros((1, n_i, way)),
+                )[0].cpu().numpy()  # [n_i, way]
+                logits_out.append(scores)
+                # majority vote per clip (first-max tie-break, as ours)
+                preds = np.argmax(scores, axis=-1)
+                pos, clip_preds, clip_targets = 0, [], []
+                for c, n_c in enumerate(counts):
+                    if n_c == 0:
+                        continue
+                    votes = np.bincount(preds[pos:pos + n_c], minlength=way)
+                    clip_preds.append(int(np.argmax(votes)))
+                    clip_targets.append(c // query)
+                    pos += n_c
+                accs.append(
+                    float(np.mean(np.asarray(clip_preds)
+                                  == np.asarray(clip_targets)) * 100.0)
+                )
+    return logits_out, accs
 
 
 def invert_metabaseline_head_params(variables) -> Dict[str, np.ndarray]:
