@@ -174,7 +174,8 @@ def _train_ours(tmp_path, classifier, backbone, backbone_kwargs, cls_kwargs,
 
 
 def _cross_check(trainer, config, n_batches, atol,
-                 head_inverter=None, ref_runner=None):
+                 head_inverter=None, ref_runner=None, ours_transform=None,
+                 ref_patch=None):
     from audio_fewshot_tpu.data import get_dataloader
 
     variables = jax.device_get(trainer.variables)
@@ -188,6 +189,8 @@ def _cross_check(trainer, config, n_batches, atol,
     ours_logits, ours_accs = cfp.run_ours_eval(
         trainer.method, variables, batches, setting
     )
+    if ours_transform is not None:
+        ours_logits = [ours_transform(l) for l in ours_logits]
 
     state = invert_backbone_params(variables, config["backbone"]["name"])
     if head_inverter is not None:
@@ -198,6 +201,8 @@ def _cross_check(trainer, config, n_batches, atol,
         setting.way, setting.shot, setting.query, state,
         cls_kwargs=dict(config["classifier"].get("kwargs") or {}),
     )
+    if ref_patch is not None:
+        ref_patch(model)
     ref_logits, ref_accs = (ref_runner or cfp.run_reference_eval)(
         model, batches, setting.way, setting.shot, setting.query
     )
@@ -271,6 +276,55 @@ def test_e2e_metabaseline_trained_parity(tmp_path):
     )
     _cross_check(trainer, config, n_batches=12, atol=1e-4,
                  head_inverter=cfp.invert_metabaseline_head_params)
+
+
+@pytest.mark.slow
+def test_e2e_mcl_trained_parity(tmp_path):
+    """Trained MCL/Conv64F: Katz-centrality mutual matching over local
+    descriptors — parameter-free head, intact reference set_forward with
+    the full ragged repeats path (mcl.py:178-205)."""
+    trainer, config = _train_ours(
+        tmp_path, "MCL", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"katz_factor": 0.5, "gamma": 20.0, "gamma2": 10.0},
+        epochs=1, train_episode=8,
+    )
+    # ours returns LOG Katz mass (heads/mcl.py:80 — the reference trains
+    # NLLLoss on the log); its set_forward emits the raw mass — exp maps
+    # our output onto the reference's
+    _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                 ours_transform=np.exp)
+
+
+@pytest.mark.slow
+def test_e2e_frn_trained_parity(tmp_path):
+    """Trained FRN/Conv64F: ridge feature reconstruction with the two
+    learned scalars (scale, r) inverse-converted (frn.py:33-34)."""
+    # episode_size 1: the reference's eval loop views each episode's
+    # query tensor with the BATCH episode count (frn.py:144), so any
+    # multi-episode batch crashes it
+    trainer, config = _train_ours(
+        tmp_path, "FRN", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        None,
+        epochs=1, train_episode=8, episode_size=1,
+    )
+    def fix_resolution(model):
+        # the reference hardcodes resolution=72 (frn.py:31 — its audio
+        # Conv64F map is 8x9); this test's [1,32,30] input gives 3x3
+        model.frn_layer.resolution = 9
+
+    def log_softmax(l):
+        # the reference FRNLayer returns log_softmax (frn.py:43-44, it
+        # trains NLLLoss); ours returns the raw scaled neg-distance
+        s = l - l.max(axis=-1, keepdims=True)
+        return s - np.log(np.sum(np.exp(s), axis=-1, keepdims=True))
+
+    _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                 head_inverter=cfp.invert_frn_head_params,
+                 ref_patch=fix_resolution, ours_transform=log_softmax)
 
 
 @pytest.mark.slow

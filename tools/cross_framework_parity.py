@@ -140,6 +140,8 @@ def build_reference_model(
         "DN4": "libfewshot_core.model.metric.dn4",
         "MetaBaseline": "libfewshot_core.model.metric.meta_baseline",
         "CAN": "libfewshot_core.model.metric.can",
+        "MCL": "libfewshot_core.model.metric.mcl",
+        "FRN": "libfewshot_core.model.metric.frn",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -147,6 +149,16 @@ def build_reference_model(
     )
     if method == "DN4":
         kwargs["n_k"] = (cls_kwargs or {}).get("n_k", 3)
+    if method == "MCL":
+        ck = dict(cls_kwargs or {})
+        # the reference forwards these through **kwargs and reads them
+        # back with kwargs.get (mcl.py:173-175)
+        kwargs.update(
+            n_k=ck.get("n_k", 3),
+            katz_factor=ck.get("katz_factor", 0.5),
+            gamma=ck.get("gamma", 20.0),
+            gamma2=ck.get("gamma2", 10.0),
+        )
     if method == "CAN":
         ck = dict(cls_kwargs or {})
         kwargs.update(
@@ -283,6 +295,16 @@ def run_reference_eval_can(
                                   == np.asarray(clip_targets)) * 100.0)
                 )
     return logits_out, accs
+
+
+def invert_frn_head_params(variables) -> Dict[str, np.ndarray]:
+    """FRN's two learned scalars (heads/frn.py FRNParams ``scale``/``r`` ↔
+    reference frn.py:33-34 ``frn_layer.scale`` [1] / ``frn_layer.r`` [2])."""
+    head = variables["params"]["head"]
+    return {
+        "frn_layer.scale": np.asarray(head["scale"]).reshape(1),
+        "frn_layer.r": np.asarray(head["r"]),
+    }
 
 
 def invert_metabaseline_head_params(variables) -> Dict[str, np.ndarray]:
