@@ -279,6 +279,23 @@ def test_e2e_metabaseline_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_adm_trained_parity(tmp_path):
+    """Trained ADM/Conv64F: covariance-KL + top-k cosine blended by the
+    learned mixer (BN1d + bias-free Conv1d), inverse-converted.  way=5
+    because the reference hardcodes the mixer conv's dilation to 5
+    (adm.py:39)."""
+    trainer, config = _train_ours(
+        tmp_path, "ADM", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"n_k": 2},
+        way=5, shot=1, query=2, epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                 head_inverter=cfp.invert_adm_head_params)
+
+
+@pytest.mark.slow
 def test_e2e_mcl_trained_parity(tmp_path):
     """Trained MCL/Conv64F: Katz-centrality mutual matching over local
     descriptors — parameter-free head, intact reference set_forward with

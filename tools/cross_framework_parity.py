@@ -142,12 +142,13 @@ def build_reference_model(
         "CAN": "libfewshot_core.model.metric.can",
         "MCL": "libfewshot_core.model.metric.mcl",
         "FRN": "libfewshot_core.model.metric.frn",
+        "ADM": "libfewshot_core.model.metric.adm",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
         emb_func=emb, device="cpu",
     )
-    if method == "DN4":
+    if method in ("DN4", "ADM"):
         kwargs["n_k"] = (cls_kwargs or {}).get("n_k", 3)
     if method == "MCL":
         ck = dict(cls_kwargs or {})
@@ -295,6 +296,27 @@ def run_reference_eval_can(
                                   == np.asarray(clip_targets)) * 100.0)
                 )
     return logits_out, accs
+
+
+def invert_adm_head_params(variables) -> Dict[str, np.ndarray]:
+    """ADM's mixer (heads/local_metrics.py ADMMixer ``norm``/``mix`` ↔
+    reference ``adm_layer.normLayer`` BatchNorm1d(2·way) +
+    ``adm_layer.fcLayer`` bias-free Conv1d(1,1,2), adm.py:38-39)."""
+    head = variables["params"]["head"]
+    stats = variables.get("batch_stats", {}).get("head", {})
+    norm = head["norm"]
+    s = stats.get("norm", {})
+    return {
+        "adm_layer.normLayer.weight": np.asarray(norm["scale"]),
+        "adm_layer.normLayer.bias": np.asarray(norm["bias"]),
+        "adm_layer.normLayer.running_mean": np.asarray(
+            s.get("mean", np.zeros_like(np.asarray(norm["scale"])))
+        ),
+        "adm_layer.normLayer.running_var": np.asarray(
+            s.get("var", np.ones_like(np.asarray(norm["scale"])))
+        ),
+        "adm_layer.fcLayer.weight": np.asarray(head["mix"]).reshape(1, 1, 2),
+    }
 
 
 def invert_frn_head_params(variables) -> Dict[str, np.ndarray]:
