@@ -296,6 +296,38 @@ def test_e2e_adm_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_atlnet_trained_parity(tmp_path):
+    """Trained ATLNet/Conv64F: shared W transform + AEA adaptive-threshold
+    attention, all learned pieces inverse-converted; the reference's
+    ragged set_forward is intact (atl_net.py:193-205)."""
+    trainer, config = _train_ours(
+        tmp_path, "ATLNet", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"feat_dim": 64},
+        epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                 head_inverter=cfp.invert_atlnet_head_params)
+
+
+@pytest.mark.slow
+def test_e2e_convmnet_trained_parity(tmp_path):
+    """Trained ConvMNet/Conv64F: covariance-metric diag collapsed by the
+    learned Conv1d scorer, inverse-converted (convm_net.py:40-50)."""
+    trainer, config = _train_ours(
+        tmp_path, "ConvMNet", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"n_local": 9},
+        epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                 head_inverter=cfp.invert_convmnet_head_params,
+                 ref_runner=cfp.run_reference_eval_convmnet)
+
+
+@pytest.mark.slow
 def test_e2e_mcl_trained_parity(tmp_path):
     """Trained MCL/Conv64F: Katz-centrality mutual matching over local
     descriptors — parameter-free head, intact reference set_forward with

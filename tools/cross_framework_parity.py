@@ -143,6 +143,8 @@ def build_reference_model(
         "MCL": "libfewshot_core.model.metric.mcl",
         "FRN": "libfewshot_core.model.metric.frn",
         "ADM": "libfewshot_core.model.metric.adm",
+        "ConvMNet": "libfewshot_core.model.metric.convm_net",
+        "ATLNet": "libfewshot_core.model.metric.atl_net",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -150,6 +152,18 @@ def build_reference_model(
     )
     if method in ("DN4", "ADM"):
         kwargs["n_k"] = (cls_kwargs or {}).get("n_k", 3)
+    if method == "ConvMNet":
+        # the reference Conv1d kernel/stride = the feature map's h·w
+        kwargs["n_local"] = (cls_kwargs or {}).get("n_local", 9)
+    if method == "ATLNet":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            scale_value=ck.get("scale_value", 30),
+            atten_scale_value=ck.get("atten_scale_value", 50),
+            from_value=ck.get("from_value", 0.5),
+            value_interval=ck.get("value_interval", 0.3),
+        )
     if method == "MCL":
         ck = dict(cls_kwargs or {})
         # the reference forwards these through **kwargs and reads them
@@ -316,6 +330,106 @@ def invert_adm_head_params(variables) -> Dict[str, np.ndarray]:
             s.get("var", np.ones_like(np.asarray(norm["scale"])))
         ),
         "adm_layer.fcLayer.weight": np.asarray(head["mix"]).reshape(1, 1, 2),
+    }
+
+
+def invert_convmnet_head_params(variables) -> Dict[str, np.ndarray]:
+    """ConvMNet's scorer (heads/local_metrics.py ConvMScorer
+    ``kernel``/``bias`` ↔ reference ``convm_layer.conv1dLayer.2``
+    Conv1d(1,1,n_local), convm_net.py:40-50)."""
+    head = variables["params"]["head"]
+    k = np.asarray(head["kernel"])  # [hw, 1]
+    return {
+        "convm_layer.conv1dLayer.2.weight": k[:, 0].reshape(1, 1, -1),
+        "convm_layer.conv1dLayer.2.bias": np.asarray(head["bias"]),
+    }
+
+
+def run_reference_eval_convmnet(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference ConvMNet eval over ragged episodes, driving the intended
+    pipeline directly: its ``set_forward`` is broken as snapshotted (stale
+    4-value unpack, convm_net.py:128) and ``ConvMLayer.forward`` still
+    carries the snapshot's debug ``print/input()`` scaffolding
+    (convm_net.py:94-97, SURVEY §7.3) — ``input`` is no-op'd for the
+    drive.  Majority vote per clip as in run_reference_eval_can."""
+    import builtins
+    import contextlib
+    import io
+
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    orig_input = builtins.input
+    builtins.input = lambda *a, **k: ""
+    try:
+        with cuda_to_cpu(), torch.no_grad(), \
+                contextlib.redirect_stdout(io.StringIO()):
+            for b in batches:
+                sup_np = np.asarray(b.support)
+                qry_np = np.asarray(b.query)
+                clip = np.asarray(b.query_clip)
+                mask = np.asarray(b.query_mask) > 0
+                e = sup_np.shape[0]
+                wq = way * query
+                for i in range(e):
+                    rows = [
+                        qry_np[i][mask[i] & (clip[i] == c)] for c in range(wq)
+                    ]
+                    counts = [r.shape[0] for r in rows]
+                    qry_i = np.concatenate(rows, axis=0)
+                    feats = model.emb_func(
+                        torch.from_numpy(np.ascontiguousarray(
+                            np.concatenate([sup_np[i], qry_i], axis=0)
+                        ))
+                    )
+                    sup_f = feats[: way * shot][None]
+                    qry_f = feats[way * shot:][None]
+                    scores = model.convm_layer(qry_f, sup_f)
+                    scores = scores.reshape(-1, way).cpu().numpy()
+                    logits_out.append(scores)
+                    preds = np.argmax(scores, axis=-1)
+                    pos, cp, ct = 0, [], []
+                    for c, n_c in enumerate(counts):
+                        votes = np.bincount(preds[pos:pos + n_c], minlength=way)
+                        cp.append(int(np.argmax(votes)))
+                        ct.append(c // query)
+                        pos += n_c
+                    accs.append(
+                        float(np.mean(np.asarray(cp) == np.asarray(ct)) * 100.0)
+                    )
+    finally:
+        builtins.input = orig_input
+    return logits_out, accs
+
+
+def invert_atlnet_head_params(variables) -> Dict[str, np.ndarray]:
+    """ATLNet's W transform + AEA threshold MLP (heads/atl_net.py
+    ``w_conv``/``w_bn``/``psi1``/``psi2`` ↔ reference ``atlLayer.W.0/1``
+    + ``atlLayer.attenLayer.f_psi.0/2``, atl_net.py:40-43,79-96)."""
+    head = variables["params"]["head"]
+    stats = variables.get("batch_stats", {}).get("head", {})
+    bn = head["w_bn"]["BatchNorm_0"]
+    s = stats.get("w_bn", {}).get("BatchNorm_0", {})
+    scale = np.asarray(bn["scale"])
+    return {
+        "atlLayer.W.0.weight":
+            np.asarray(head["w_conv"]["kernel"]).transpose(3, 2, 0, 1),
+        "atlLayer.W.1.weight": scale,
+        "atlLayer.W.1.bias": np.asarray(bn["bias"]),
+        "atlLayer.W.1.running_mean":
+            np.asarray(s.get("mean", np.zeros_like(scale))),
+        "atlLayer.W.1.running_var":
+            np.asarray(s.get("var", np.ones_like(scale))),
+        "atlLayer.attenLayer.f_psi.0.weight":
+            np.asarray(head["psi1"]["kernel"]).T,
+        "atlLayer.attenLayer.f_psi.0.bias": np.asarray(head["psi1"]["bias"]),
+        "atlLayer.attenLayer.f_psi.2.weight":
+            np.asarray(head["psi2"]["kernel"]).T,
+        "atlLayer.attenLayer.f_psi.2.bias": np.asarray(head["psi2"]["bias"]),
     }
 
 
