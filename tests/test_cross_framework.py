@@ -296,6 +296,26 @@ def test_e2e_adm_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_relationnet_trained_parity(tmp_path):
+    """Trained RelationNet/Conv64F: the conv+fc relation scorer
+    inverse-converted.  [1,108,96] input → 12×10 maps so the torch scorer
+    geometry (conv3→pool2→conv3→pool2 → 1×1) stays valid and the final
+    flatten is order-invariant; episode_size 1 so the torch train-mode
+    scorer BNs see the same pair batch as our masked batch-stat eval."""
+    trainer, config = _train_ours(
+        tmp_path, "RelationNet", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"feat_dim": 64, "feat_height": 1, "feat_width": 1},
+        epochs=1, train_episode=6,
+        episode_size=1, spec_shape=(1, 108, 96),
+    )
+    _cross_check(trainer, config, n_batches=8, atol=1e-3,
+                 head_inverter=cfp.invert_relationnet_head_params,
+                 ref_runner=cfp.run_reference_eval_relationnet)
+
+
+@pytest.mark.slow
 def test_e2e_atlnet_trained_parity(tmp_path):
     """Trained ATLNet/Conv64F: shared W transform + AEA adaptive-threshold
     attention, all learned pieces inverse-converted; the reference's

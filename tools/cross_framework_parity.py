@@ -145,6 +145,7 @@ def build_reference_model(
         "ADM": "libfewshot_core.model.metric.adm",
         "ConvMNet": "libfewshot_core.model.metric.convm_net",
         "ATLNet": "libfewshot_core.model.metric.atl_net",
+        "RelationNet": "libfewshot_core.model.metric.relation_net",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -163,6 +164,13 @@ def build_reference_model(
             atten_scale_value=ck.get("atten_scale_value", 50),
             from_value=ck.get("from_value", 0.5),
             value_interval=ck.get("value_interval", 0.3),
+        )
+    if method == "RelationNet":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            feat_height=ck.get("feat_height", 3),
+            feat_width=ck.get("feat_width", 3),
         )
     if method == "MCL":
         ck = dict(cls_kwargs or {})
@@ -431,6 +439,68 @@ def invert_atlnet_head_params(variables) -> Dict[str, np.ndarray]:
             np.asarray(head["psi2"]["kernel"]).T,
         "atlLayer.attenLayer.f_psi.2.bias": np.asarray(head["psi2"]["bias"]),
     }
+
+
+def invert_relationnet_head_params(variables) -> Dict[str, np.ndarray]:
+    """RelationNet's scorer (heads/relation_net.py RelationLayer
+    ``conv1/bn1/conv2/bn2/fc1/fc2`` ↔ reference
+    ``relation_layer.layers.{0,1,4,5}`` + ``relation_layer.fc.{0,2}``,
+    relation_net.py:31-49)."""
+    head = variables["params"]["head"]
+    stats = variables.get("batch_stats", {}).get("head", {})
+    out: Dict[str, np.ndarray] = {}
+    for ours, theirs in (("conv1", "layers.0"), ("conv2", "layers.4")):
+        out[f"relation_layer.{theirs}.weight"] = np.asarray(
+            head[ours]["kernel"]).transpose(3, 2, 0, 1)
+        out[f"relation_layer.{theirs}.bias"] = np.asarray(head[ours]["bias"])
+    for ours, theirs in (("bn1", "layers.1"), ("bn2", "layers.5")):
+        bn = head[ours]["BatchNorm_0"]
+        s = stats.get(ours, {}).get("BatchNorm_0", {})
+        scale = np.asarray(bn["scale"])
+        out[f"relation_layer.{theirs}.weight"] = scale
+        out[f"relation_layer.{theirs}.bias"] = np.asarray(bn["bias"])
+        out[f"relation_layer.{theirs}.running_mean"] = np.asarray(
+            s.get("mean", np.zeros_like(scale)))
+        out[f"relation_layer.{theirs}.running_var"] = np.asarray(
+            s.get("var", np.ones_like(scale)))
+    for ours, theirs in (("fc1", "fc.0"), ("fc2", "fc.2")):
+        out[f"relation_layer.{theirs}.weight"] = np.asarray(
+            head[ours]["kernel"]).T
+        out[f"relation_layer.{theirs}.bias"] = np.asarray(head[ours]["bias"])
+    return out
+
+
+def run_reference_eval_relationnet(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """RelationNet's ``set_forward`` is intact, but RelationLayer.forward
+    is broken as snapshotted: its leftover debug line EXECUTES a
+    throwaway hardcoded-640-channel ``.cuda()`` conv on the input
+    (relation_net.py:52-54), crashing any non-640-dim feature — bind the
+    intended forward body (``fc(flatten(layers(x)))``) instead.  The
+    scorer BNs are torch momentum=1 (batch-stats-only here,
+    heads/relation_net.py); put them in train mode so torch normalizes
+    with the current episode's pairs exactly as our masked batch-stat
+    eval does (episode_size must be 1 so both sides see the same pair
+    batch)."""
+    import types
+
+    import torch
+
+    model.eval()
+    for m in model.relation_layer.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.train()
+
+    def intended_forward(self, x):
+        out = self.layers(x)
+        out = out.reshape(x.size(0), -1)
+        return self.fc(out)
+
+    model.relation_layer.forward = types.MethodType(
+        intended_forward, model.relation_layer
+    )
+    return run_reference_eval(model, batches, way, shot, query)
 
 
 def invert_frn_head_params(variables) -> Dict[str, np.ndarray]:
