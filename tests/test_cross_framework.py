@@ -296,6 +296,23 @@ def test_e2e_adm_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_kendall_trained_parity(tmp_path):
+    """Trained MetaBaselineKendall/Conv64F: exact Kendall rank correlation
+    vs prototypes — parameter-free head, intact ragged set_forward
+    (meta_baseline_kendall.py:152-188).  episode_size 1 because the
+    reference returns only the LAST episode's scores from its loop
+    (``return k_score`` instead of ``output``)."""
+    trainer, config = _train_ours(
+        tmp_path, "MetaBaselineKendall", "Conv64F",
+        {"is_flatten": True, "last_pool": True, "maxpool_last2": False,
+         "num_channels": 1},
+        None,
+        epochs=1, train_episode=8, episode_size=1,
+    )
+    _cross_check(trainer, config, n_batches=10, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_e2e_relationnet_trained_parity(tmp_path):
     """Trained RelationNet/Conv64F: the conv+fc relation scorer
     inverse-converted.  [1,108,96] input → 12×10 maps so the torch scorer

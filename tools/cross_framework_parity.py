@@ -146,6 +146,7 @@ def build_reference_model(
         "ConvMNet": "libfewshot_core.model.metric.convm_net",
         "ATLNet": "libfewshot_core.model.metric.atl_net",
         "RelationNet": "libfewshot_core.model.metric.relation_net",
+        "MetaBaselineKendall": "libfewshot_core.model.metric.meta_baseline_kendall",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
