@@ -296,6 +296,28 @@ def test_e2e_adm_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_feat_trained_parity(tmp_path):
+    """Trained FEAT/Conv64F (reference audio recipe 1.0/1.0/0.5): the
+    set-to-set attention inverse-converted, the intended eval pipeline
+    (class-mean prototypes → self-attention → temperature metric) driven
+    per ragged episode — the reference's set_forward has the stale
+    4-value unpack (feat.py:158-163)."""
+    trainer, config = _train_ours(
+        tmp_path, "FEAT", "Conv64F",
+        {"is_flatten": True, "last_pool": True, "maxpool_last2": False,
+         "num_channels": 1},
+        # hdim = the 1600-d Conv64F logits-head output (our SetAttention
+        # derives its width from the features; the torch module needs it)
+        {"hdim": 1600, "temperature": 1.0, "temperature2": 1.0,
+         "balance": 0.5, "mode": "euclidean"},
+        epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                 head_inverter=cfp.invert_feat_head_params,
+                 ref_runner=cfp.run_reference_eval_feat)
+
+
+@pytest.mark.slow
 def test_e2e_kendall_trained_parity(tmp_path):
     """Trained MetaBaselineKendall/Conv64F: exact Kendall rank correlation
     vs prototypes — parameter-free head, intact ragged set_forward

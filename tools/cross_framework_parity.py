@@ -147,6 +147,7 @@ def build_reference_model(
         "ATLNet": "libfewshot_core.model.metric.atl_net",
         "RelationNet": "libfewshot_core.model.metric.relation_net",
         "MetaBaselineKendall": "libfewshot_core.model.metric.meta_baseline_kendall",
+        "FEAT": "libfewshot_core.model.metric.feat",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -172,6 +173,15 @@ def build_reference_model(
             feat_dim=ck.get("feat_dim", 64),
             feat_height=ck.get("feat_height", 3),
             feat_width=ck.get("feat_width", 3),
+        )
+    if method == "FEAT":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            hdim=ck.get("hdim", 64),
+            temperature=ck.get("temperature", 1.0),
+            temperature2=ck.get("temperature2", 1.0),
+            balance=ck.get("balance", 0.5),
+            mode=ck.get("mode", "euclidean"),
         )
     if method == "MCL":
         ck = dict(cls_kwargs or {})
@@ -502,6 +512,75 @@ def run_reference_eval_relationnet(
         intended_forward, model.relation_layer
     )
     return run_reference_eval(model, batches, way, shot, query)
+
+
+def invert_feat_head_params(variables) -> Dict[str, np.ndarray]:
+    """FEAT's set-to-set attention (heads/feat.py SetAttention
+    ``w_q/w_k/w_v/fc/ln`` ↔ reference ``slf_attn.w_qs/w_ks/w_vs/fc/
+    layer_norm``, feat.py:74-128)."""
+    head = variables["params"]["head"]
+    out: Dict[str, np.ndarray] = {}
+    for ours, theirs in (("w_q", "w_qs"), ("w_k", "w_ks"), ("w_v", "w_vs")):
+        out[f"slf_attn.{theirs}.weight"] = np.asarray(head[ours]["kernel"]).T
+    out["slf_attn.fc.weight"] = np.asarray(head["fc"]["kernel"]).T
+    out["slf_attn.fc.bias"] = np.asarray(head["fc"]["bias"])
+    out["slf_attn.layer_norm.weight"] = np.asarray(head["ln"]["scale"])
+    out["slf_attn.layer_norm.bias"] = np.asarray(head["ln"]["bias"])
+    return out
+
+
+def run_reference_eval_feat(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference FEAT eval over ragged episodes, driving the intended
+    pipeline: its ``set_forward`` has the stale 4-value unpack
+    (feat.py:158-163) — the intended semantics are ``_calc_logits``
+    (feat.py:233-249): class-mean prototypes → self-attention adaptation
+    → temperature-scaled metric.  Flat (mode-1) features; majority vote
+    per clip as in run_reference_eval_can."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu(), torch.no_grad():
+        for b in batches:
+            sup_np = np.asarray(b.support)
+            qry_np = np.asarray(b.query)
+            clip = np.asarray(b.query_clip)
+            mask = np.asarray(b.query_mask) > 0
+            e = sup_np.shape[0]
+            wq = way * query
+            for i in range(e):
+                rows = [
+                    qry_np[i][mask[i] & (clip[i] == c)] for c in range(wq)
+                ]
+                counts = [r.shape[0] for r in rows]
+                qry_i = np.concatenate(rows, axis=0)
+                feats = model.emb_func(
+                    torch.from_numpy(np.ascontiguousarray(
+                        np.concatenate([sup_np[i], qry_i], axis=0)
+                    ))
+                )
+                sup_f = feats[: way * shot]
+                qry_f = feats[way * shot:]
+                proto = sup_f.reshape(way, shot, -1).mean(1)[None]
+                proto = model.slf_attn(proto, proto, proto)
+                scores = model.proto_layer(
+                    qry_f[None], proto, model.mode, model.temperature
+                )[0].cpu().numpy()
+                logits_out.append(scores)
+                preds = np.argmax(scores, axis=-1)
+                pos, cp, ct = 0, [], []
+                for c, n_c in enumerate(counts):
+                    votes = np.bincount(preds[pos:pos + n_c], minlength=way)
+                    cp.append(int(np.argmax(votes)))
+                    ct.append(c // query)
+                    pos += n_c
+                accs.append(
+                    float(np.mean(np.asarray(cp) == np.asarray(ct)) * 100.0)
+                )
+    return logits_out, accs
 
 
 def invert_frn_head_params(variables) -> Dict[str, np.ndarray]:
