@@ -387,6 +387,20 @@ def test_e2e_convmnet_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_adm_kl_trained_parity(tmp_path):
+    """Trained ADM_KL/Conv64F: the parameter-free Gaussian-KL metric —
+    intact ragged set_forward (adm_kl.py:183-200), generic runner."""
+    trainer, config = _train_ours(
+        tmp_path, "ADM_KL", "Conv64F",
+        {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
+         "num_channels": 1},
+        {"n_k": 2, "CMS": False},
+        epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=10, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_e2e_mcl_trained_parity(tmp_path):
     """Trained MCL/Conv64F: Katz-centrality mutual matching over local
     descriptors — parameter-free head, intact reference set_forward with

@@ -148,6 +148,7 @@ def build_reference_model(
         "RelationNet": "libfewshot_core.model.metric.relation_net",
         "MetaBaselineKendall": "libfewshot_core.model.metric.meta_baseline_kendall",
         "FEAT": "libfewshot_core.model.metric.feat",
+        "ADM_KL": "libfewshot_core.model.metric.adm_kl",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -155,6 +156,9 @@ def build_reference_model(
     )
     if method in ("DN4", "ADM"):
         kwargs["n_k"] = (cls_kwargs or {}).get("n_k", 3)
+    if method == "ADM_KL":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(n_k=ck.get("n_k", 3), CMS=ck.get("CMS", False))
     if method == "ConvMNet":
         # the reference Conv1d kernel/stride = the feature map's h·w
         kwargs["n_local"] = (cls_kwargs or {}).get("n_local", 9)
