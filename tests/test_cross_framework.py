@@ -498,3 +498,53 @@ def test_e2e_renet_trained_parity(tmp_path):
         ref_runner=cfp.run_reference_eval_renet,
     )
     assert row["episodes"] == 16
+
+
+@pytest.mark.slow
+def test_e2e_dsn_trained_parity(tmp_path):
+    """Trained DSN/Conv64F: adaptive-subspace metric — per-class SVD
+    subspace + projection-residual distance.  The reference set_forward is
+    broken as snapshotted (stale 4-value unpack, dsn.py:164-170, and the
+    ragged query *list* fed to DSNLayer, dsn.py:173-177), so the intact
+    DSNLayer (dsn.py:37-93) is driven per episode directly
+    (run_reference_eval_dsn).  shot 3 → a 2-dim subspace exercises the
+    SVD path in both frameworks (our fp32 jnp.linalg.svd vs the
+    reference's float64-then-cast torch.linalg.svd)."""
+    trainer, config = _train_ours(
+        tmp_path, "DSN", "Conv64F",
+        {"is_flatten": True, "last_pool": True, "maxpool_last2": False,
+         "num_channels": 1},
+        None,
+        shot=3, epochs=1, train_episode=8,
+    )
+    _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                 head_inverter=cfp.invert_dsn_head_params,
+                 ref_runner=cfp.run_reference_eval_dsn)
+
+
+def _softmax_np(x):
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+@pytest.mark.slow
+def test_e2e_r2d2_trained_parity(tmp_path):
+    """Trained R2D2/Conv64F — the first META-family trained-weight e2e:
+    closed-form ridge regression (dual form, r2d2.py:116-126) with the
+    three learned scalars inverse-converted.  The reference set_forward's
+    ragged repeats path is intact at episode_size 1 (r2d2.py:342-379; its
+    per-episode loop hands the FULL support batch to the layer, so any
+    multi-episode batch trips the layer's batch-size assert).  The
+    reference softmaxes its returned logits (r2d2.py:374) — ours are
+    mapped through the same softmax for comparison."""
+    trainer, config = _train_ours(
+        tmp_path, "R2D2", "Conv64F",
+        {"is_flatten": True, "last_pool": True, "maxpool_last2": False,
+         "num_channels": 1},
+        None,
+        epochs=1, train_episode=8, episode_size=1,
+    )
+    row = _cross_check(trainer, config, n_batches=10, atol=1e-3,
+                       head_inverter=cfp.invert_r2d2_head_params,
+                       ours_transform=_softmax_np)
+    assert row["episodes"] == 10

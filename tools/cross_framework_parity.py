@@ -149,6 +149,8 @@ def build_reference_model(
         "MetaBaselineKendall": "libfewshot_core.model.metric.meta_baseline_kendall",
         "FEAT": "libfewshot_core.model.metric.feat",
         "ADM_KL": "libfewshot_core.model.metric.adm_kl",
+        "DSN": "libfewshot_core.model.metric.dsn",
+        "R2D2": "libfewshot_core.model.meta.r2d2",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -602,6 +604,79 @@ def invert_metabaseline_head_params(variables) -> Dict[str, np.ndarray]:
     (heads/meta_baseline.py ``head/temp`` ↔ reference ``self.temp``,
     meta_baseline.py:54)."""
     return {"temp": np.asarray(variables["params"]["head"]["temp"])}
+
+
+def invert_dsn_head_params(variables) -> Dict[str, np.ndarray]:
+    """DSN's only head parameter is ``scale`` (dsn.py:105), applied to the
+    *voted prediction*, never to the returned logits (dsn.py:185) — our head
+    carries no equivalent (heads/dsn.py documents the omission), so the
+    reference gets its init value back."""
+    return {"scale": np.asarray([1.0], np.float32)}
+
+
+def run_reference_eval_dsn(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference DSN eval over ragged episodes, driving the intended
+    pipeline directly: its ``set_forward`` is broken as snapshotted (stale
+    4-value unpack of the 5-return ``split_by_episode``, dsn.py:164-170,
+    SURVEY §7.3), and even past that the shot≥2 branch passes the ragged
+    *list* of query tensors straight into ``DSNLayer`` (dsn.py:173-177).
+    We embed per episode and call ``model.dsn_layer`` on the per-episode
+    tensors — the layer itself (SVD subspace + projection residual,
+    dsn.py:37-93) is intact.  Majority vote per clip as in
+    run_reference_eval_can."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu(), torch.no_grad():
+        for b in batches:
+            sup_np = np.asarray(b.support)
+            qry_np = np.asarray(b.query)
+            clip = np.asarray(b.query_clip)
+            mask = np.asarray(b.query_mask) > 0
+            e = sup_np.shape[0]
+            wq = way * query
+            for i in range(e):
+                rows = [
+                    qry_np[i][mask[i] & (clip[i] == c)] for c in range(wq)
+                ]
+                counts = [r.shape[0] for r in rows]
+                qry_i = np.concatenate(rows, axis=0)
+                feats = model.emb_func(
+                    torch.from_numpy(np.ascontiguousarray(
+                        np.concatenate([sup_np[i], qry_i], axis=0)
+                    ))
+                )
+                sup_f = feats[: way * shot][None]
+                qry_f = feats[way * shot:][None]
+                logits, _ = model.dsn_layer(qry_f, sup_f, way, shot)
+                logits = logits.reshape(-1, way).cpu().numpy()
+                logits_out.append(logits)
+                preds = np.argmax(logits, axis=-1)
+                pos, cp, ct = 0, [], []
+                for c, n_c in enumerate(counts):
+                    votes = np.bincount(preds[pos:pos + n_c], minlength=way)
+                    cp.append(int(np.argmax(votes)))
+                    ct.append(c // query)
+                    pos += n_c
+                accs.append(
+                    float(np.mean(np.asarray(cp) == np.asarray(ct)) * 100.0)
+                )
+    return logits_out, accs
+
+
+def invert_r2d2_head_params(variables) -> Dict[str, np.ndarray]:
+    """R2D2's three ridge scalars (heads/r2d2.py R2D2Params
+    ``alpha``/``beta``/``gamma`` ↔ reference ``classifier.alpha/beta/gamma``
+    [1]-tensors, r2d2.py:85-87)."""
+    head = variables["params"]["head"]
+    return {
+        "classifier.%s" % k: np.asarray(head[k]).reshape(1)
+        for k in ("alpha", "beta", "gamma")
+    }
 
 
 def invert_renet_head_params(variables) -> Dict[str, np.ndarray]:
