@@ -37,7 +37,14 @@ class ConvNF(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 sample_mask: Optional[jnp.ndarray] = None):
+        # sample_mask: [N] bool — rows contributing to BN batch statistics.
+        # Only meaningful under batch-stat-only BN (the MAML family forces
+        # use_running_statistics=False): bucket-padded query rows must not
+        # perturb real rows' normalization — the torch reference computes
+        # its per-episode stats over real segments only (maml.py:79
+        # forward_output on the episode's packed query set).
         x = to_nhwc(x).astype(self.dtype)
         blk = dict(
             features=self.features,
@@ -46,12 +53,13 @@ class ConvNF(nn.Module):
             negative_slope=self.negative_slope,
             dtype=self.dtype,
         )
-        out1 = max_pool_floor(ConvBnAct(**blk, name="layer1")(x, train), 3, 3)
-        out2 = max_pool_floor(ConvBnAct(**blk, name="layer2")(out1, train), 3, 3)
-        out3 = ConvBnAct(**blk, name="layer3")(out2, train)
+        m = sample_mask
+        out1 = max_pool_floor(ConvBnAct(**blk, name="layer1")(x, train, m), 3, 3)
+        out2 = max_pool_floor(ConvBnAct(**blk, name="layer2")(out1, train, m), 3, 3)
+        out3 = ConvBnAct(**blk, name="layer3")(out2, train, m)
         if self.maxpool_last2:
             out3 = max_pool_floor(out3, 3, 3)
-        out4 = ConvBnAct(**blk, name="layer4")(out3, train)
+        out4 = ConvBnAct(**blk, name="layer4")(out3, train, m)
         if self.last_pool:
             out4 = max_pool_floor(out4, 3, 3)
 
@@ -75,7 +83,8 @@ class ConvNF(nn.Module):
             flat = BatchNorm(
                 use_running_statistics=self.use_running_statistics,
                 name="logits_bn",
-            )(flat, train)
+            )(flat, train,
+              mask=None if sample_mask is None else sample_mask[:, None])
             out4 = nn.Dense(self.logits_dim, name="logits_dense")(flat)
 
         if self.is_feature:

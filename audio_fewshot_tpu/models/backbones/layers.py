@@ -80,7 +80,10 @@ class ConvBnAct(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # sample_mask: [N] bool — rows contributing to batch statistics
+        # (bucket-padded batches under batch-stat-only BN; see BatchNorm)
         x = nn.Conv(
             self.features,
             self.kernel,
@@ -88,9 +91,10 @@ class ConvBnAct(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
         )(x)
+        mask = None if sample_mask is None else sample_mask[:, None, None, None]
         x = BatchNorm(
             use_running_statistics=self.use_running_statistics, dtype=self.dtype
-        )(x, train)
+        )(x, train, mask=mask)
         return activation_fn(self.leaky_relu, self.negative_slope)(x)
 
 

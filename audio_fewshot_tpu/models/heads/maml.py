@@ -54,6 +54,11 @@ class MAMLBase(MethodBase):
         self.test_iter = int(inner_param.get("test_iter", 10))
         self.way_num = way_num
         self.modules["classifier"] = nn.Dense(way_num)
+        # can the backbone mask padded rows out of its BN batch statistics?
+        import inspect
+        self._mask_kw = "sample_mask" in inspect.signature(
+            type(emb_func).__call__
+        ).parameters
 
     def _init_head(self, variables, rngs, feats, example_batch, setting):
         if feats.ndim > 2:
@@ -63,13 +68,21 @@ class MAMLBase(MethodBase):
 
     # -- pure-network application over explicit (possibly adapted) params ----
 
-    def _net(self, params: Dict[str, Any], batch_stats, x: jnp.ndarray) -> jnp.ndarray:
+    def _net(self, params: Dict[str, Any], batch_stats, x: jnp.ndarray,
+             sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         emb_vars = {"params": params["emb_func"]}
         mutable = False
         if batch_stats and "emb_func" in batch_stats:
             emb_vars["batch_stats"] = batch_stats["emb_func"]
             mutable = ["batch_stats"]
-        out = self.emb_func.apply(emb_vars, x, train=False, mutable=mutable)
+        # bucket-padded rows must not perturb the batch-stat BN statistics
+        # of real rows (the reference sees only real segments — maml.py:79);
+        # only backbones exposing ``sample_mask`` (Conv64F — every shipped
+        # MAML-family config) can honor this, detected once in __init__
+        kw = {"sample_mask": sample_mask} if (
+            sample_mask is not None and self._mask_kw
+        ) else {}
+        out = self.emb_func.apply(emb_vars, x, train=False, mutable=mutable, **kw)
         feats = out[0] if mutable else out
         if feats.ndim > 2:
             feats = feats.reshape(feats.shape[0], -1)
@@ -117,9 +130,12 @@ class MAMLBase(MethodBase):
     def _inner_lr_tree(self, adaptable: Dict[str, Any]):
         return jax.tree_util.tree_map(lambda _: self.inner_lr, adaptable)
 
-    def _episode_logits(self, params, batch_stats, sup_x, sup_y, qry_x, n_steps):
+    def _episode_logits(self, params, batch_stats, sup_x, sup_y, qry_x,
+                        qry_mask, n_steps):
         """One episode: adapt on support, return query logits.  All inputs
-        are single-episode ([WS,...], [WS], [G,...]) — vmapped by callers."""
+        are single-episode ([WS,...], [WS], [G,...], [G]) — vmapped by
+        callers.  Support rows are always dense; the query pass masks
+        bucket padding out of the batch-stat BN statistics."""
         adaptable = self._adaptable(params)
         lr_tree = self._inner_lr_tree(adaptable)
 
@@ -138,7 +154,8 @@ class MAMLBase(MethodBase):
 
         adapted, _ = jax.lax.scan(sgd_step, adaptable, None, length=n_steps)
         logits, _ = self._net(
-            self._merge_adapted(params, adapted), batch_stats, qry_x
+            self._merge_adapted(params, adapted), batch_stats, qry_x,
+            sample_mask=qry_mask > 0,
         )
         return logits
 
@@ -148,8 +165,9 @@ class MAMLBase(MethodBase):
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
         episode_fn = partial(self._episode_logits, params, batch_stats)
-        seg_logits = jax.vmap(episode_fn, in_axes=(0, 0, 0, None))(
-            batch.support, batch.support_target, batch.query, n_steps
+        seg_logits = jax.vmap(episode_fn, in_axes=(0, 0, 0, 0, None))(
+            batch.support, batch.support_target, batch.query,
+            batch.query_mask, n_steps,
         )
         return seg_logits
 
@@ -281,7 +299,7 @@ class BOIL(MAMLBase):
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
 
-        def episode_fn(sup_x, sup_y, qry_x):
+        def episode_fn(sup_x, sup_y, qry_x, qry_mask):
             adaptable = self._adaptable(params)
             lr_tree = self._inner_lr_tree(adaptable)
 
@@ -297,7 +315,9 @@ class BOIL(MAMLBase):
             )
             merged = self._merge_adapted(params, adapted)
             _, sup_f = self._net(merged, batch_stats, sup_x)
-            _, qry_f = self._net(merged, batch_stats, qry_x)
+            _, qry_f = self._net(
+                merged, batch_stats, qry_x, sample_mask=qry_mask > 0
+            )
             # the EVAL-time way, not the train config's way_num — the
             # reference swaps way_num at test via reverse_setting_info, and
             # NIL drops the head so nothing else pins the class count
@@ -314,7 +334,7 @@ class BOIL(MAMLBase):
             return qn @ pn.T
 
         return jax.vmap(episode_fn)(
-            batch.support, batch.support_target, batch.query
+            batch.support, batch.support_target, batch.query, batch.query_mask
         )
 
     def forward(self, variables, batch, setting):

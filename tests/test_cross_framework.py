@@ -175,7 +175,7 @@ def _train_ours(tmp_path, classifier, backbone, backbone_kwargs, cls_kwargs,
 
 def _cross_check(trainer, config, n_batches, atol,
                  head_inverter=None, ref_runner=None, ours_transform=None,
-                 ref_patch=None):
+                 ref_patch=None, agree_min=0.999):
     from audio_fewshot_tpu.data import get_dataloader
 
     variables = jax.device_get(trainer.variables)
@@ -212,7 +212,7 @@ def _cross_check(trainer, config, n_batches, atol,
     )
     assert row["acc_diff"] <= 0.5, row
     assert row["rel_logit_diff"] <= atol, row
-    assert row["segment_pred_agreement"] >= 0.999, row
+    assert row["segment_pred_agreement"] >= agree_min, row
     return row
 
 

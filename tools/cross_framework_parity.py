@@ -151,6 +151,9 @@ def build_reference_model(
         "ADM_KL": "libfewshot_core.model.metric.adm_kl",
         "DSN": "libfewshot_core.model.metric.dsn",
         "R2D2": "libfewshot_core.model.meta.r2d2",
+        "MAML": "libfewshot_core.model.meta.maml",
+        "ANIL": "libfewshot_core.model.meta.anil",
+        "BOIL": "libfewshot_core.model.meta.boil",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -218,6 +221,14 @@ def build_reference_model(
             # ``num_classes``)
             num_classes=ck.get("num_class", ck.get("num_classes", 64)),
         )
+    if method in ("MAML", "ANIL", "BOIL"):
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            inner_param=dict(ck.get("inner_param") or {}),
+            feat_dim=ck.get("feat_dim", 64),
+        )
+        if method == "BOIL":
+            kwargs["testing_method"] = ck.get("testing_method", "Once_update")
     model = getattr(load_ref(cls_mod), method)(**kwargs)
     sd = {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}
     missing, unexpected = model.load_state_dict(sd, strict=False)
@@ -803,6 +814,62 @@ def run_reference_eval_renet(
                 pred = out.argmax(-1).cpu().numpy()
                 logits_out.append(out.detach().cpu().numpy())
                 accs.append(float(np.mean(pred == local_q) * 100.0))
+    return logits_out, accs
+
+
+def invert_maml_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax MAML-family linear head (``classifier`` Dense, heads/maml.py:56)
+    → the reference's ``classifier.layers.0`` Linear (maml.py:29-35,
+    anil.py:25-34, boil.py:27-33)."""
+    head = variables["params"]["classifier"]
+    return {
+        "classifier.layers.0.weight": np.ascontiguousarray(
+            np.asarray(head["kernel"]).T
+        ),
+        "classifier.layers.0.bias": np.asarray(head["bias"]),
+    }
+
+
+def run_reference_eval_inner_loop(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """``run_reference_eval`` for the MAML family: the fast-weight inner
+    SGD needs autograd (maml.py:141 ``torch.autograd.grad``), so no
+    ``no_grad`` wrapper.  Two determinism fixes the inner-loop oracle
+    (tests/test_maml_oracle.py) established:
+
+    - dropout zeroed: ``set_forward_adaptation`` flips the whole model to
+      train mode (maml.py:131-132 / anil.py:129-130) without restoring
+      eval, so the Conv64F logits-head dropout would otherwise stay live —
+      ours evals with train=False (no dropout);
+    - ``model.eval()`` re-asserted per batch: the same train-mode leak
+      would switch ANIL's UNconverted emb_func BNs (anil.py:65 converts
+      only the classifier) from running to batch stats on every batch
+      after the first, and would select ``train_iter`` over ``test_iter``.
+    """
+    import torch
+
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu():
+        for b in batches:
+            model.eval()
+            images, target, repeats, support_size = episode_batch_to_reference(
+                b, way, shot, query
+            )
+            out, acc = model.set_forward(
+                (
+                    torch.from_numpy(np.ascontiguousarray(images)),
+                    torch.from_numpy(target),
+                    torch.from_numpy(repeats),
+                    support_size,
+                )
+            )
+            logits_out.append(out.detach().cpu().numpy())
+            accs.append(float(acc) if np.ndim(acc) == 0 else float(acc.item()))
     return logits_out, accs
 
 
