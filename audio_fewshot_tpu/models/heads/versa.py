@@ -35,9 +35,14 @@ class VERSAHead(nn.Module):
     drop_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, feats, train: bool):
+    def __call__(self, feats, train: bool, mask=None):
+        # mask [N, 1] bool: rows contributing to the batch-stat BN
+        # statistics — bucket-padded query rows must not perturb real rows'
+        # normalization (the torch reference only ever sees real segments)
         x = nn.Dense(self.d_theta, name="h_dense")(feats)
-        x = BatchNorm(use_running_statistics=False, name="h_bn")(x, train)
+        x = BatchNorm(use_running_statistics=False, name="h_bn")(
+            x, train, mask=mask
+        )
         x = nn.relu(x)
         return nn.Dropout(self.drop_rate, deterministic=not train)(x)
 
@@ -83,7 +88,14 @@ class VERSA(MethodBase):
         e, ws, d = sup.shape
         g = qry.shape[1]
         flat = jnp.concatenate([sup.reshape(-1, d), qry.reshape(-1, d)], axis=0)
-        h, upd2 = self.apply_module(variables, "head", flat, train=train, rng=rng)
+        # padded query rows stay out of the batch-stat BN statistics
+        row_mask = jnp.concatenate([
+            jnp.ones((e * ws,), bool),
+            (batch.query_mask > 0).reshape(-1),
+        ])[:, None]
+        h, upd2 = self.apply_module(
+            variables, "head", flat, train=train, rng=rng, mask=row_mask
+        )
         sup_h = h[: e * ws].reshape(e, ws, -1)
         qry_h = h[e * ws:].reshape(e, g, -1)
         class_feat = sup_h.reshape(e, setting.way, setting.shot, -1).mean(axis=2)

@@ -32,12 +32,23 @@ _STUB_PKGS = (
 def _ensure_stubs() -> None:
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    created = False
     for name in _STUB_PKGS:
         if name in sys.modules:
             continue
         mod = types.ModuleType(name)
         mod.__path__ = [REF_ROOT + "/" + name.replace(".", "/")]
         sys.modules[name] = mod
+        created = True
+    if created:
+        # the real ``model`` package re-exports the losses; several leaves
+        # import them from the parent (``from .. import DistillKLLoss`` —
+        # rfs_model.py:35, skd_model.py:33, deepbdc_pretrain.py:23)
+        loss_mod = importlib.import_module("libfewshot_core.model.loss")
+        pkg = sys.modules["libfewshot_core.model"]
+        for sym in ("DistillKLLoss", "L2DistLoss", "LabelSmoothCELoss"):
+            if hasattr(loss_mod, sym):
+                setattr(pkg, sym, getattr(loss_mod, sym))
 
 
 def load_ref(name: str):

@@ -175,7 +175,7 @@ def _train_ours(tmp_path, classifier, backbone, backbone_kwargs, cls_kwargs,
 
 def _cross_check(trainer, config, n_batches, atol,
                  head_inverter=None, ref_runner=None, ours_transform=None,
-                 ref_patch=None, agree_min=0.999):
+                 ref_patch=None, agree_min=0.999, tie_margin=0.0):
     from audio_fewshot_tpu.data import get_dataloader
 
     variables = jax.device_get(trainer.variables)
@@ -210,9 +210,23 @@ def _cross_check(trainer, config, n_batches, atol,
         ours_logits, ref_logits, ours_accs, ref_accs,
         config["classifier"]["name"],
     )
-    assert row["acc_diff"] <= 0.5, row
     assert row["rel_logit_diff"] <= atol, row
-    assert row["segment_pred_agreement"] >= agree_min, row
+    if tie_margin:
+        # sklearn-probe family: BOTH frameworks are approximate convex
+        # solvers (the reference runs sklearn lbfgs at tol=1e-4,
+        # deepbdc_pretrain.py:215-222) — near-tie queries may flip between
+        # the two optima.  Require every flip to BE a near-tie in both
+        # frameworks, and bound the accuracy gap by the flip mass.
+        assert row["disagree_margin"] <= tie_margin, row
+        # accuracy is CLIP-level (majority vote) while flips are counted
+        # per segment: one tied segment can flip its whole clip's vote, so
+        # the acc bound is the flip count in clip units
+        n_clips = row["episodes"] * setting.way * setting.query
+        assert row["acc_diff"] <= 0.5 + 100.0 * row["n_flips"] / n_clips, row
+        assert row["segment_pred_agreement"] >= agree_min, row
+    else:
+        assert row["acc_diff"] <= 0.5, row
+        assert row["segment_pred_agreement"] >= agree_min, row
     return row
 
 

@@ -154,6 +154,17 @@ def build_reference_model(
         "MAML": "libfewshot_core.model.meta.maml",
         "ANIL": "libfewshot_core.model.meta.anil",
         "BOIL": "libfewshot_core.model.meta.boil",
+        "MTL": "libfewshot_core.model.meta.mtl",
+        "LEO": "libfewshot_core.model.meta.leo",
+        "VERSA": "libfewshot_core.model.meta.versa",
+        "MetabaselinePretrain":
+            "libfewshot_core.model.finetuning.metabaseline_pretrain",
+        "FEAT_Pretrain": "libfewshot_core.model.finetuning.feat_pretrain",
+        "MetabaselineKendallPretrain":
+            "libfewshot_core.model.finetuning.metabaselinekendall_pretrain",
+        "RFSModel": "libfewshot_core.model.finetuning.rfs_model",
+        "SKDModel": "libfewshot_core.model.finetuning.skd_model",
+        "DeepBDC_Pretrain": "libfewshot_core.model.finetuning.deepbdc_pretrain",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
@@ -229,6 +240,66 @@ def build_reference_model(
         )
         if method == "BOIL":
             kwargs["testing_method"] = ck.get("testing_method", "Once_update")
+    if method == "MTL":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_classes=ck.get("num_classes", ck.get("num_class", 64)),
+            inner_param=dict(ck.get("inner_param") or {}),
+            use_MTL=ck.get("use_MTL", False),
+        )
+    if method == "LEO":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            inner_para=dict(ck.get("inner_para") or {}),
+            feat_dim=ck.get("feat_dim", 64),
+            hid_dim=ck.get("hid_dim", 64),
+            kl_weight=ck.get("kl_weight", 0.001),
+            encoder_penalty_weight=ck.get("encoder_penalty_weight", 1e-9),
+            orthogonality_penalty_weight=ck.get(
+                "orthogonality_penalty_weight", 1e-3
+            ),
+        )
+    if method == "VERSA":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            sample_num=ck.get("sample_num", 10),
+            d_theta=ck.get("d_theta", 256),
+            drop_rate=ck.get("drop_rate", 0.0),
+        )
+    if method in ("MetabaselinePretrain", "MetabaselineKendallPretrain"):
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_class=ck.get("num_class", 64),
+        )
+    if method == "FEAT_Pretrain":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            train_num_class=ck.get("train_num_class",
+                                   ck.get("num_class", 64)),
+            val_num_class=ck.get("val_num_class", way),
+            mode=ck.get("mode", "euclidean"),
+        )
+    if method in ("RFSModel", "SKDModel"):
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_class=ck.get("num_class", 64),
+            is_distill=False,
+        )
+    if method == "DeepBDC_Pretrain":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            num_class=ck.get("num_class", 64),
+            val_type=ck.get("val_type", "stl"),
+            reduce_dim=ck.get("reduce_dim", 640),
+            dropout_rate=ck.get("dropout_rate", 0.0),
+            penalty_C=ck.get("penalty_C", 0.1),
+            is_distill=False,
+        )
     model = getattr(load_ref(cls_mod), method)(**kwargs)
     sd = {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}
     missing, unexpected = model.load_state_dict(sd, strict=False)
@@ -238,10 +309,15 @@ def build_reference_model(
     # when is_flatten (conv_four.py:87-92,117-119) — absent from our tree
     # when unused.
     converted_logits_head = any(".logits." in k for k in state_dict)
+    # MTL's convert_mtl_module wraps every Conv2d in Conv2dMtl, adding
+    # per-channel mtl_weight (ones) / mtl_bias (zeros) — identity at their
+    # init values (mtl_module.py:46-58), so absent from our tree by design
     real_missing = [
         m for m in missing
         if not m.endswith("num_batches_tracked")
         and not (".logits." in m and not converted_logits_head)
+        and not (method == "MTL"
+                 and (m.endswith(".mtl_weight") or m.endswith(".mtl_bias")))
     ]
     if real_missing or unexpected:
         raise KeyError(
@@ -873,6 +949,326 @@ def run_reference_eval_inner_loop(
     return logits_out, accs
 
 
+def _iter_reference_episodes(model, batches, way: int, shot: int, query: int):
+    """Per episode: embed the support rows + that episode's valid query
+    segments (clip-major, matching our packed order) through
+    ``model.emb_func`` under ``no_grad`` → yields
+    ``(sup_f, qry_f, counts)`` torch tensors + per-clip segment counts."""
+    import torch
+
+    for b in batches:
+        sup_np = np.asarray(b.support)
+        qry_np = np.asarray(b.query)
+        clip = np.asarray(b.query_clip)
+        mask = np.asarray(b.query_mask) > 0
+        wq = way * query
+        for i in range(sup_np.shape[0]):
+            rows = [qry_np[i][mask[i] & (clip[i] == c)] for c in range(wq)]
+            counts = [r.shape[0] for r in rows]
+            with torch.no_grad():
+                feats = model.emb_func(
+                    torch.from_numpy(
+                        np.ascontiguousarray(
+                            np.concatenate([sup_np[i]] + rows, axis=0)
+                        )
+                    )
+                )
+            if feats.dim() > 2:
+                feats = feats.reshape(feats.shape[0], -1)
+            yield feats[: way * shot], feats[way * shot:], counts
+
+
+def _clip_vote_acc(preds: np.ndarray, counts, way: int, query: int) -> float:
+    """Majority vote per clip (first-max tie-break, as ours) → accuracy %."""
+    pos, clip_preds, clip_targets = 0, [], []
+    for c, n_c in enumerate(counts):
+        if n_c == 0:
+            continue
+        votes = np.bincount(preds[pos:pos + n_c], minlength=way)
+        clip_preds.append(int(np.argmax(votes)))
+        clip_targets.append(c // query)
+        pos += n_c
+    return float(
+        np.mean(np.asarray(clip_preds) == np.asarray(clip_targets)) * 100.0
+    )
+
+
+def invert_mtl_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax MTL base learner (``classifier.fc`` Dense, heads/mtl.py:27-32)
+    → the reference's ``MTLBaseLearner`` (mtl.py:33-45), whose fc1_w/fc1_b
+    Parameters are also registered through its ``vars`` ParameterList."""
+    head = variables["params"]["classifier"]["fc"]
+    w = np.ascontiguousarray(np.asarray(head["kernel"]).T)
+    b = np.asarray(head["bias"])
+    return {
+        "base_learner.fc1_w": w, "base_learner.fc1_b": b,
+        "base_learner.vars.0": w, "base_learner.vars.1": b,
+    }
+
+
+def run_reference_eval_mtl(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference MTL eval driving the INTENDED pipeline directly:
+    ``set_forward`` is broken as snapshotted (stale 4-value unpack of the
+    5-tuple split, mtl.py:82-84, and its mode-4 split cannot represent
+    ragged query counts).  The intact pieces — frozen features +
+    ``set_forward_adaptation``'s fixed-lr inner SGD on the meta-learned
+    linear base learner (mtl.py:120-140, lr hard-coded 0.01) — are run per
+    episode; the adaptation needs autograd, so only the embedding is under
+    ``no_grad``."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu():
+        for sup_f, qry_f, counts in _iter_reference_episodes(
+            model, batches, way, shot, query
+        ):
+            sup_y = torch.from_numpy(np.repeat(np.arange(way), shot))
+            classifier, fast_w = model.set_forward_adaptation(sup_f, sup_y)
+            with torch.no_grad():
+                scores = classifier(qry_f, fast_w).cpu().numpy()
+            logits_out.append(scores)
+            accs.append(
+                _clip_vote_acc(np.argmax(scores, -1), counts, way, query)
+            )
+    return logits_out, accs
+
+
+def invert_leo_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax LEO encoder/decoder (heads/leo.py:43-69) → the reference's
+    ``Encoder``/``Decoder`` (leo.py:68-122): the feature→hidden linear, the
+    three bias-free relation-net linears, and the latent→2·feat decoder."""
+    p = variables["params"]
+    out: Dict[str, np.ndarray] = {}
+
+    def lin(dst, src, bias=True):
+        out[f"{dst}.weight"] = np.ascontiguousarray(
+            np.asarray(src["kernel"]).T
+        )
+        if bias:
+            out[f"{dst}.bias"] = np.asarray(src["bias"])
+
+    lin("encoder.encoder_func", p["encoder"]["encoder"])
+    for i in range(3):
+        lin(f"encoder.relation_net.{2 * i}", p["encoder"][f"relation{i}"],
+            bias=False)
+    lin("decoder.decoder_func", p["decoder"]["decoder"])
+    return out
+
+
+def invert_versa_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax VERSA head (heads/versa.py:33-54) → the reference's ``h`` trunk
+    (Linear+BN1d, versa.py:105-110) and the four ψ Predictor MLPs
+    (versa.py:26-39 ``layers.{0,2,4}`` Linears)."""
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    head = p["head"]
+    out["h.0.weight"] = np.ascontiguousarray(
+        np.asarray(head["h_dense"]["kernel"]).T
+    )
+    out["h.0.bias"] = np.asarray(head["h_dense"]["bias"])
+    bn_p = head["h_bn"]["BatchNorm_0"]
+    bn_s = s.get("head", {}).get("h_bn", {}).get("BatchNorm_0", {})
+    out["h.1.weight"] = np.asarray(bn_p["scale"])
+    out["h.1.bias"] = np.asarray(bn_p["bias"])
+    if "mean" in bn_s:
+        out["h.1.running_mean"] = np.asarray(bn_s["mean"])
+        out["h.1.running_var"] = np.asarray(bn_s["var"])
+    for psi in ("weight_mean", "weight_logvar", "bias_mean", "bias_logvar"):
+        for i in range(3):
+            dense = p["psi"][psi][f"Dense_{i}"]
+            out[f"{psi}.layers.{2 * i}.weight"] = np.ascontiguousarray(
+                np.asarray(dense["kernel"]).T
+            )
+            out[f"{psi}.layers.{2 * i}.bias"] = np.asarray(dense["bias"])
+    return out
+
+
+def run_reference_eval_versa(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference VERSA eval driving the INTENDED pipeline (its
+    ``set_forward`` has the stale 4-value unpack, versa.py:128-130) with
+    ZERO-NOISE sampling: ``sample_normal`` pinned to the mean makes the
+    logsumexp average collapse to the logits mean exactly (versa.py:60-92),
+    mirroring the caller's patch of our ``_sample_logits``.  The ``h``
+    trunk runs in train mode because our VERSAHead BN is batch-stat-only
+    (heads/versa.py:40) — at episode_size 1 both frameworks normalize over
+    the same support+query rows."""
+    import torch
+
+    model.eval()
+    model.h.train()  # batch-stat BN over the episode's rows (drop_rate 0)
+    model.head.sample_normal = (
+        lambda mu, logvar, n: mu.unsqueeze(0).expand(n, *mu.shape)
+    )
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu(), torch.no_grad():
+        for feats_sup, feats_qry, counts in _iter_reference_episodes(
+            model, batches, way, shot, query
+        ):
+            h_all = model.h(torch.cat([feats_sup, feats_qry], dim=0))
+            sup_h = h_all[: way * shot]
+            qry_h = h_all[way * shot:]
+            class_feat = sup_h.reshape(way, shot, -1).mean(dim=1)[None]
+            wm = model.weight_mean(class_feat).permute(0, 2, 1)
+            wl = model.weight_logvar(class_feat).permute(0, 2, 1)
+            bm = model.bias_mean(class_feat).permute(0, 2, 1)
+            bl = model.bias_logvar(class_feat).permute(0, 2, 1)
+            pred, _ = model.head(
+                way, qry_h[None],
+                torch.zeros(qry_h.shape[0], dtype=torch.long),
+                wm, wl, bm, bl,
+            )
+            scores = pred.cpu().numpy()
+            logits_out.append(scores)
+            accs.append(
+                _clip_vote_acc(np.argmax(scores, -1), counts, way, query)
+            )
+    return logits_out, accs
+
+
+def invert_feat_pretrain_head_params(variables) -> Dict[str, np.ndarray]:
+    return invert_global_linear_head_params(variables, "train_classifier")
+
+
+def run_reference_eval_pretrain_proto(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference pretrainer meta-val driving the INTENDED proto metric per
+    episode — their ``set_forward``s carry the stale 4-value unpack of the
+    5-tuple split (metabaseline_pretrain.py:77-79, feat_pretrain.py:57-59,
+    metabaselinekendall_pretrain.py:137-139).  The metric layers themselves
+    are intact and parameter-free: cosine prototypes
+    (metabaseline_pretrain.py:11-45), euclid prototypes (the shared
+    metric ProtoLayer), and exact Kendall rank correlation against
+    prototypes (metabaselinekendall_pretrain.py:47-110)."""
+    import torch
+
+    model.eval()
+    name = type(model).__name__
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu(), torch.no_grad():
+        for sup_f, qry_f, counts in _iter_reference_episodes(
+            model, batches, way, shot, query
+        ):
+            if name == "MetabaselinePretrain":
+                scores = model.proto_layer(
+                    qry_f[None], sup_f[None], way, shot, qry_f.shape[0],
+                    mode="cos_sim",
+                )[0]
+            elif name == "FEAT_Pretrain":
+                scores = model.val_classifier(
+                    qry_f[None], sup_f[None], way, shot, query,
+                    mode=model.mode,
+                )[0]
+            elif name == "MetabaselineKendallPretrain":
+                proto = sup_f.reshape(way, shot, -1).mean(dim=1)[None]
+                scores = model.proto_layer(
+                    qry_f[None], proto, "kendall"
+                ).reshape(-1, way)
+            else:
+                raise KeyError(f"no pretrain-proto branch for {name}")
+            scores = scores.cpu().numpy()
+            logits_out.append(scores)
+            accs.append(
+                _clip_vote_acc(np.argmax(scores, -1), counts, way, query)
+            )
+    return logits_out, accs
+
+
+def invert_global_linear_head_params(
+    variables, torch_name: str = "classifier", rot: bool = False
+) -> Dict[str, np.ndarray]:
+    """flax global linear head (``classifier`` Dense; plus SKD's
+    ``rot_classifier``) → the reference finetuning models' global heads
+    (rfs_model.py:91, skd_model.py:94-95, deepbdc_pretrain.py:86) — unused
+    by the sklearn eval path but converted so the state-dict load stays
+    strict-complete."""
+    out: Dict[str, np.ndarray] = {}
+    head = variables["params"]["classifier"]
+    out[f"{torch_name}.weight"] = np.ascontiguousarray(
+        np.asarray(head["kernel"]).T
+    )
+    out[f"{torch_name}.bias"] = np.asarray(head["bias"])
+    if rot:
+        rc = variables["params"]["rot_classifier"]
+        out["rot_classifier.weight"] = np.ascontiguousarray(
+            np.asarray(rc["kernel"]).T
+        )
+        out["rot_classifier.bias"] = np.asarray(rc["bias"])
+    return out
+
+
+def invert_rfs_head_params(variables) -> Dict[str, np.ndarray]:
+    return invert_global_linear_head_params(variables, "classifier")
+
+
+def invert_skd_head_params(variables) -> Dict[str, np.ndarray]:
+    return invert_global_linear_head_params(variables, "cls_classifier",
+                                            rot=True)
+
+
+def run_reference_eval_sklearn(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference sklearn-probe eval (RFS/SKD/DeepBDC_Pretrain 'stl'):
+    their ``set_forward`` is broken as snapshotted (stale 4-value unpack
+    of the 5-tuple split — rfs_model.py:115-117, skd_model.py:137-139,
+    deepbdc_pretrain.py:152-154), so the intact
+    ``set_forward_adaptation`` — sklearn ``LogisticRegression`` (lbfgs,
+    L2, multinomial) on L2-normalized support features
+    (rfs_model.py:165-180, deepbdc_pretrain.py:214-228) — is driven per
+    episode; query probabilities via ``predict_proba`` (the softmax of
+    the fitted multinomial scores, comparable to the softmax of our probe
+    logits).
+
+    The snapshot targets an older sklearn: the ``multi_class`` kwarg was
+    removed in sklearn 1.7+ (multinomial IS the lbfgs default now), so the
+    reference module's ``LogisticRegression`` symbol is shimmed to strip
+    it — identical semantics."""
+    import sys as _sys
+
+    import torch
+    import torch.nn.functional as F
+
+    ref_mod = _sys.modules[type(model).__module__]
+    orig_lr = ref_mod.LogisticRegression
+
+    def _lr_shim(*a, **k):
+        assert k.pop("multi_class", "multinomial") == "multinomial"
+        return orig_lr(*a, **k)
+
+    ref_mod.LogisticRegression = _lr_shim
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    try:
+        with cuda_to_cpu(), torch.no_grad():
+            for sup_f, qry_f, counts in _iter_reference_episodes(
+                model, batches, way, shot, query
+            ):
+                sup_y = torch.from_numpy(np.repeat(np.arange(way), shot))
+                clf = model.set_forward_adaptation(sup_f, sup_y)
+                qf = F.normalize(qry_f, p=2, dim=1).cpu().numpy()
+                proba = clf.predict_proba(qf)
+                logits_out.append(proba.astype(np.float32))
+                accs.append(
+                    _clip_vote_acc(np.argmax(proba, -1), counts, way, query)
+                )
+    finally:
+        ref_mod.LogisticRegression = orig_lr
+    return logits_out, accs
+
+
 def run_reference_eval(
     model, batches, way: int, shot: int, query: int
 ) -> Tuple[List[np.ndarray], List[float]]:
@@ -937,9 +1333,25 @@ def compare(
     # meaningful fp32 cross-framework comparison
     rel = float(max_abs / max(np.max(np.abs(ref_cat)), 1e-6))
     # prediction agreement per segment
-    agree = float(
-        np.mean(np.argmax(ours_cat, -1) == np.argmax(ref_cat, -1))
-    )
+    agreeing = np.argmax(ours_cat, -1) == np.argmax(ref_cat, -1)
+    agree = float(np.mean(agreeing))
+    # among DISAGREEING segments: the top-2 margin (normalized by logit
+    # scale) in each framework.  When both frameworks only ever flip on
+    # near-zero margins, disagreement is solver/fp tolerance on a tie —
+    # not model drift (relevant for the sklearn-probe family, where the
+    # reference itself is an approximate solver at tol=1e-4,
+    # deepbdc_pretrain.py:215-222)
+    def _top2_margin(x):
+        s = np.sort(x, axis=-1)
+        return (s[..., -1] - s[..., -2]) / max(np.max(np.abs(x)), 1e-6)
+
+    if bool(np.all(agreeing)):
+        disagree_margin = 0.0
+    else:
+        disagree_margin = float(max(
+            np.max(_top2_margin(ours_cat[~agreeing])),
+            np.max(_top2_margin(ref_cat[~agreeing])),
+        ))
     acc_ours = float(np.mean(ours_accs))
     # vote_catagorical_acc already returns percent (utils.py:432-433)
     acc_ref = float(np.mean(ref_accs))
@@ -952,6 +1364,9 @@ def compare(
         "max_abs_logit_diff": max_abs,
         "rel_logit_diff": rel,
         "segment_pred_agreement": agree,
+        "disagree_margin": disagree_margin,
+        "n_segments": int(ours_cat.shape[0]),
+        "n_flips": int(np.sum(~agreeing)),
     }
     return row
 
