@@ -165,6 +165,18 @@ class CCALayer(nn.Module):
         pads — renet.py:378-404 is dense-only)."""
         ns, c, h, w = spt.shape
         nq = qry.shape[0]
+        if h * w < 2:
+            # the reference's own shipped audio config (last_pool: true over
+            # the 3x3-stride-3 pool stack) collapses maps to 1x1, where its
+            # gaussian_normalize — UNBIASED var over the h*w spatial axis
+            # (renet.py:253-257) — is 0/0 = NaN and training silently dies.
+            # Fail loudly instead: RENet requires spatial feature maps.
+            raise ValueError(
+                f"RENet CCA needs spatial feature maps, got {h}x{w}: "
+                "gaussian-normalizing over a single spatial position is "
+                "0/0 (ref renet.py:253-257 unbiased var). Set the backbone's "
+                "last_pool: false (see config/kos_fixture/renet_5shot.yaml)"
+            )
         spt = spt - spt.mean(axis=1, keepdims=True)
         qry = qry - qry.mean(axis=1, keepdims=True)
 

@@ -31,7 +31,15 @@ if __name__ == "__main__":
                         help="explicit config yaml (overrides result_path/config.yaml)")
     parser.add_argument("--test_epoch", type=int, default=None)
     parser.add_argument("--test_episode", type=int, default=None)
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the jax CPU backend (tunnel-outage playbook)",
+    )
     args, rest = parser.parse_known_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     var_dict = dict(VAR_DICT)
     if args.test_epoch is not None:

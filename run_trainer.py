@@ -19,6 +19,16 @@ if __name__ == "__main__":
         "--yaml_path", "-y", type=str, default=None,
         help="path to the leaf config yaml",
     )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the jax CPU backend (tunnel-outage playbook: the axon "
+             "sitecustomize latches JAX_PLATFORMS before user code, but "
+             "backends are lazy so this still wins pre-first-use)",
+    )
     args, rest = parser.parse_known_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     config = Config(args.yaml_path, cli_args=rest).get_config_dict()
     main(0, config)
