@@ -21,42 +21,67 @@ from ...registry import CLASSIFIERS
 from ..base import LossOutput, MethodBase, ModelType, masked_cross_entropy
 
 
-def mcl_logits(query_feat, support_feat, way, shot, katz_factor=0.5,
-               gamma=20.0, gamma2=10.0):
-    """query [E,G,c,h,w], support [E,W*S,c,h,w] → [E,G,way] (probabilities:
-    Katz mass per class; the reference trains with NLL over their log)."""
+def _bipartite_similarity(query_feat, support_feat, way, shot):
+    """Cosine similarity between query local descriptors and class-averaged
+    support maps (averaging_based_similarities, mcl.py:134-143):
+    query [E,G,c,h,w], support [E,W*S,c,h,w] → S [E,G,hw,way·hw]."""
     e, g, c, h, w = query_feat.shape
     hw = h * w
-    # class-averaged support maps (averaging_based_similarities, mcl.py:134-143)
     sup = support_feat.reshape(e, way, shot, c, hw).mean(axis=2)  # [E,way,c,hw]
     sup = sup / jnp.maximum(jnp.linalg.norm(sup, axis=2, keepdims=True), 1e-12)
     qry = query_feat.reshape(e, g, c, hw)
     qry = qry / jnp.maximum(jnp.linalg.norm(qry, axis=2, keepdims=True), 1e-12)
+    return jnp.einsum("egcx,ewcy->egxwy", qry, sup).reshape(e, g, hw, way * hw)
 
-    # S: [E,G, M_q=hw, M_s=way*hw]
-    s_mat = jnp.einsum("egcx,ewcy->egxwy", qry, sup).reshape(e, g, hw, way * hw)
-    m_q, m_s = hw, way * hw
 
-    t_sq = jax.nn.softmax(gamma * s_mat, axis=-1)  # [E,G,M_q,M_s] rows over support
-    t_qs = jax.nn.softmax(gamma2 * jnp.swapaxes(s_mat, -1, -2), axis=-1)  # [E,G,M_s,M_q]
+def _katz_vector(s_mat, katz_factor, gamma, gamma2):
+    """Katz centrality ``((I − αT)⁻¹ − I)·1`` of the bipartite graph built
+    from ``s_mat [..., M_q, M_s]`` (bipartite_katz_forward, mcl.py:145-165) →
+    ``[..., M_s + M_q]`` (support nodes first)."""
+    m_q, m_s = s_mat.shape[-2], s_mat.shape[-1]
+    lead = s_mat.shape[:-2]
+    t_sq = jax.nn.softmax(gamma * s_mat, axis=-1)  # rows over support
+    t_qs = jax.nn.softmax(gamma2 * jnp.swapaxes(s_mat, -1, -2), axis=-1)
 
     n = m_s + m_q
     top = jnp.concatenate(
-        [jnp.zeros((e, g, m_s, m_s)), jnp.swapaxes(t_sq, -1, -2)], axis=-1
+        [jnp.zeros(lead + (m_s, m_s)), jnp.swapaxes(t_sq, -1, -2)], axis=-1
     )
     bottom = jnp.concatenate(
-        [jnp.swapaxes(t_qs, -1, -2), jnp.zeros((e, g, m_q, m_q))], axis=-1
+        [jnp.swapaxes(t_qs, -1, -2), jnp.zeros(lead + (m_q, m_q))], axis=-1
     )
-    t_full = jnp.concatenate([top, bottom], axis=-2)  # [E,G,n,n]
+    t_full = jnp.concatenate([top, bottom], axis=-2)  # [..., n, n]
 
     eye = jnp.eye(n)
-    ones = jnp.ones((e, g, n, 1))
-    katz = jnp.linalg.solve(eye - katz_factor * t_full, ones)[..., 0] - 1.0
-    sup_katz = katz[..., :m_s]
+    ones = jnp.ones(lead + (n, 1))
+    return jnp.linalg.solve(eye - katz_factor * t_full, ones)[..., 0] - 1.0
+
+
+def mcl_logits(query_feat, support_feat, way, shot, katz_factor=0.5,
+               gamma=20.0, gamma2=10.0):
+    """query [E,G,c,h,w], support [E,W*S,c,h,w] → [E,G,way] (probabilities:
+    Katz mass per class; the reference trains with NLL over their log)."""
+    hw = query_feat.shape[-2] * query_feat.shape[-1]
+    s_mat = _bipartite_similarity(query_feat, support_feat, way, shot)
+    katz = _katz_vector(s_mat, katz_factor, gamma, gamma2)
+    sup_katz = katz[..., : way * hw]
     sup_katz = sup_katz / jnp.maximum(
         jnp.sum(sup_katz, axis=-1, keepdims=True), 1e-12
     )
+    e, g = s_mat.shape[:2]
     return sup_katz.reshape(e, g, way, hw).sum(axis=-1)
+
+
+def katz_query_mask(query_feat, support_feat, way, shot, katz_factor,
+                    gamma, gamma2):
+    """Reference ``MCLMask`` (mcl.py:78-121): the QUERY nodes' Katz
+    centrality, normalized to sum 1 over positions → [E,G,h·w] weights
+    (consumed by R2D2MCL's mask-weighted query pooling, r2d2_mcl.py:157-160)."""
+    hw = query_feat.shape[-2] * query_feat.shape[-1]
+    s_mat = _bipartite_similarity(query_feat, support_feat, way, shot)
+    katz = _katz_vector(s_mat, katz_factor, gamma, gamma2)
+    q_katz = katz[..., way * hw:]
+    return q_katz / jnp.maximum(jnp.sum(q_katz, axis=-1, keepdims=True), 1e-12)
 
 
 @CLASSIFIERS.register("MCL")

@@ -74,21 +74,30 @@ class R2D2(MethodBase):
 
 @CLASSIFIERS.register("R2D2MCL")
 class R2D2MCL(R2D2):
-    """R2D2 head over dense feature maps (reference r2d2_mcl.py): each
-    spatial position contributes a support row with its clip's label; query
-    positions' logits are averaged per segment."""
+    """R2D2 ridge head over MCL-attended features (reference r2d2_mcl.py
+    set_forward :143-173): the MCLMask Katz centrality weights each query's
+    spatial positions (mask-weighted sum → one vector per query segment),
+    supports are global-average-pooled, then the standard dual-form ridge
+    solve produces the logits."""
 
     needs_feature_map = True
 
+    def __init__(self, emb_func, katz_factor: float = 0.999,
+                 gamma: float = 10.0, gamma2: float = 5.0, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        self.katz_factor = katz_factor
+        self.gamma = gamma
+        self.gamma2 = gamma2
+
     def _logits(self, variables, batch, setting, train, rng=None):
+        from .mcl import katz_query_mask
+
         sup, qry, updates = self.embed(variables, batch, train=train, rng=rng)
         (alpha, beta, gamma), _ = self.apply_module(variables, "head")
-        e, ns, c, h, w = sup.shape
-        g = qry.shape[1]
-        hw = h * w
-        sup_l = sup.reshape(e, ns, c, hw).transpose(0, 1, 3, 2).reshape(e, ns * hw, c)
-        qry_l = qry.reshape(e, g, c, hw).transpose(0, 1, 3, 2).reshape(e, g * hw, c)
+        e, g, c, h, w = qry.shape
+        mask = katz_query_mask(qry, sup, setting.way, setting.shot,
+                               self.katz_factor, self.gamma, self.gamma2)
+        qry_vec = jnp.einsum("egcx,egx->egc", qry.reshape(e, g, c, h * w), mask)
+        sup_vec = sup.mean(axis=(-2, -1))  # adaptive_avg_pool2d(·, 1)
         onehot = jax.nn.one_hot(batch.support_target, setting.way, dtype=sup.dtype)
-        onehot = jnp.repeat(onehot, hw, axis=1)
-        logits = ridge_logits(qry_l, sup_l, onehot, alpha, beta, gamma)
-        return logits.reshape(e, g, hw, setting.way).mean(axis=2), updates
+        return ridge_logits(qry_vec, sup_vec, onehot, alpha, beta, gamma), updates
