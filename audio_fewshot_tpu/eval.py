@@ -65,6 +65,8 @@ def resolve_tta_stats(cfg: Dict[str, Any], logger) -> Tuple[float, float]:
 
 
 class Test:
+    __test__ = False  # not a pytest case (this module is imported by tests)
+
     def __init__(self, rank: int, config: Dict[str, Any], result_path: Optional[str] = None):
         from .train import enable_compilation_cache
 

@@ -273,7 +273,9 @@ class TestDualLoaderSharding:
         from audio_fewshot_tpu.train import Trainer
 
         config = {
-            "data_root": "synthetic:6:8", "spec_shape": (1, 16, 15),
+            # 32x24 -> 3x2 feature maps after the two stride-3 pools: RENet
+            # needs spatial maps (1x1 is NaN geometry — renet.py guard)
+            "data_root": "synthetic:6:8", "spec_shape": (1, 32, 24),
             "modality": "audio", "mean_std_file": None,
             "backbone": {"name": "Conv64F", "kwargs": {
                 "is_flatten": False, "last_pool": False,
@@ -299,3 +301,7 @@ class TestDualLoaderSharding:
         assert tr.mesh.devices.size > 1  # conftest's 8 virtual CPU devices
         assert config["batch_size"] % tr.mesh.devices.size == 0
         tr.train_loop(0)
+        # training must actually be numerically healthy, not merely complete
+        # (round 3 shipped a fixture whose 1x1 feature maps trained on NaN)
+        final_loss = tr.train_meter.avg("loss")
+        assert np.isfinite(final_loss), f"non-finite train loss {final_loss}"
