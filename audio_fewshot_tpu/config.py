@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import warnings
 import re
 from typing import Any, Dict, Optional
 
@@ -30,14 +31,14 @@ DEFAULTS: Dict[str, Any] = {
     # data
     "data_root": "",
     "image_size": 84,
-    "audio_size": None,
-    "use_memory": False,
+    "audio_size": None,   # no consumer anywhere (loud warning if set)
+    "use_memory": False,  # → forces device_data_bank on (_finalize)
     "augment": True,
     "augment_times": 1,
     "augment_times_query": 1,
-    "workers": 8,
+    "workers": 8,         # 0 → synchronous batch build (data/loader.py)
     "dataloader_num": 1,
-    "is_clap": False,
+    "is_clap": False,     # → CLAPBackbone override (models.build_method)
     "modality": "audio",
     "mean_std_file": None,
     "class_per_split": None,
@@ -177,8 +178,12 @@ class Config:
 
         Reference leaf configs live in ``config/<method>/`` and reference
         headers as ``headers/data.yaml`` — i.e. relative to the config ROOT,
-        not the leaf directory.  Search order: leaf dir, each ancestor up to
-        3 levels, then ``./config``.
+        not the leaf directory (upstream resolves against ``./config`` from
+        the repo root; the snapshot's own ``libfewshot_core.config`` import
+        is broken — module absent — so upstream LibFewShot semantics govern).
+        Search order: leaf dir, each ancestor up to 3 levels, each ancestor's
+        ``config/`` subdir (covers ``reproduce/<M>/`` leaves including their
+        sibling ``config/`` tree), then ``./config``.
         """
         leaf_dir = os.path.dirname(os.path.abspath(leaf_path))
         candidates = [os.path.join(leaf_dir, include)]
@@ -186,6 +191,7 @@ class Config:
         for _ in range(3):
             parent = os.path.dirname(parent)
             candidates.append(os.path.join(parent, include))
+            candidates.append(os.path.join(parent, "config", include))
         candidates.append(os.path.join(os.getcwd(), "config", include))
         for cand in candidates:
             if os.path.isfile(cand):
@@ -243,6 +249,31 @@ class Config:
             raise ValueError(
                 f"episode_size ({config['episode_size']}) must be divisible by "
                 f"the device count ({n_dev})"
+            )
+        # -- knob audit: every accepted key is consumed or rejected loudly --
+        # use_memory (upstream LibFewShot: hold the dataset in RAM; the
+        # snapshot's own data package is absent) → the TPU-native dataset
+        # cache is the device-resident segment bank (data/bank.py); force it
+        # on rather than silently ignoring the key
+        if config.get("use_memory") and config.get("device_data_bank") == "auto":
+            config["device_data_bank"] = True
+        # parallel_part (upstream: which submodules get nn.DataParallel) has
+        # no analogue — the mesh shards the episode axis for the WHOLE model
+        # (parallel/mesh.py); warn when a config asks for anything else
+        if list(config.get("parallel_part") or []) not in ([], ["emb_func"]):
+            warnings.warn(
+                "parallel_part is accepted for config parity only: episode-"
+                "axis mesh sharding covers the whole model, there is no "
+                "per-submodule DataParallel split (parallel/mesh.py)",
+                stacklevel=2,
+            )
+        # audio_size is consumed by nothing in the reference snapshot either
+        # (its data package is absent); spec_shape governs input geometry here
+        if config.get("audio_size"):
+            warnings.warn(
+                "audio_size has no consumer (reference snapshot included); "
+                "input geometry is set by spec_shape",
+                stacklevel=2,
             )
 
     def get_config_dict(self) -> Dict[str, Any]:

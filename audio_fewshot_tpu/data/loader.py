@@ -510,6 +510,12 @@ def get_dataloader(
         )
     dataset = build_dataset(config, mode)
     seed = int(config.get("seed", 0))
+    # workers (upstream: DataLoader num_workers; 0 = load in the main
+    # process) → the host-side pipelining analogue here is the prefetch
+    # thread: workers 0 disables it for fully synchronous batch build
+    prefetch = int(config.get("prefetch", 2))
+    if str(config.get("workers", 1)) in ("0", "0.0"):
+        prefetch = 0
 
     if model_type == ModelType.FINETUNING and mode == "train":
         return [
@@ -552,7 +558,7 @@ def get_dataloader(
             mode=mode,
             seed=seed + 1000 * _SPLIT_INDEX[mode],
             segment_bucket_sizes=tuple(buckets) if buckets else None,
-            prefetch=int(config.get("prefetch", 2)),
+            prefetch=prefetch,
             augment_times=augment_times,
         )
     ]

@@ -64,6 +64,109 @@ def resolve_tta_stats(cfg: Dict[str, Any], logger) -> Tuple[float, float]:
     )
 
 
+def tta_eval_step(method, variables, batch, rng, setting: EpisodeSetting, *,
+                  tta_mean: float, tta_std: float, num_augmentations: int,
+                  tta_segments_per_clip: int, bank=None):
+    """Energy-OOD + TTA re-classification (reference test.py:331-500):
+    flag the top-20 % most-uncertain query clips, REPLACE each flagged
+    clip's segments with ``num_augmentations`` noise-suppressed copies of
+    each, and re-take the majority vote over the augmented pool.
+
+    This is the reference's *intended* semantics: ``augment_images_with_
+    mask`` (test.py:107-122) substitutes every segment of a flagged clip
+    with M augmented versions (originals dropped) and re-runs the model
+    on the enlarged batch.  The reference's repeats bookkeeping
+    (``repeats[idxs] += M-1``, test.py:413) is only coherent for
+    single-segment clips — multi-segment flagged clips shift every later
+    clip's alignment; here the segment gather is per-clip and exact.
+    All static shapes — flagged count and per-clip segment cap are fixed.
+
+    Module-level (not a ``Test`` method) so the driver's multi-chip dry run
+    jits the same production step over a mesh (__graft_entry__).
+    """
+    from .episode import materialize_episode_batch
+    from .parallel.mesh import upcast_floats
+
+    if bank is not None:
+        batch = materialize_episode_batch(batch, bank)
+    batch = upcast_floats(batch)  # undo transfer_dtype wire compression
+    from .ops.audio_augmentations import batch_augment_spectrogram
+    from .utils.aggregate import clip_vote_counts
+
+    sup_raw, qry_f, _ = method.embed(variables, batch, train=False)
+    sup_f = sup_raw
+    use_bpa = getattr(method, "use_bpa", False)
+    if use_bpa:
+        # mirror forward(): the base votes and the calibration pass ran
+        # through the BPA transform — the TTA path must score on the
+        # same feature space
+        from .models.heads.proto_net import apply_bpa
+
+        sup_f, qry_f = apply_bpa(sup_raw, qry_f, batch.query_mask)
+    seg_logits = method.feature_logits(sup_f, qry_f, setting)
+
+    wq = batch.num_query_clips
+    uncertains, _ = method.clip_uncertainty(seg_logits, batch)
+    top_idx = method.ood_topk(uncertains)
+    k = top_idx.shape[0]
+    m = num_augmentations
+    ep_idx = top_idx // wq
+    clip_idx = top_idx % wq
+
+    # all valid segments of each flagged clip, capped at a static S
+    # (the padded segment axis is static; S defaults to the loader's
+    # max_segments_per_clip so nothing is dropped)
+    is_clip = (batch.query_clip[ep_idx] == clip_idx[:, None]) & (
+        batch.query_mask[ep_idx] > 0
+    )  # [K, G]
+    s_cap = min(tta_segments_per_clip, is_clip.shape[1])
+    order = jnp.argsort(~is_clip, axis=1, stable=True)[:, :s_cap]  # [K, S]
+    seg_valid = jnp.take_along_axis(is_clip, order, axis=1)  # [K, S]
+    segments = batch.query[ep_idx[:, None], order]  # [K, S, C, H, W]
+
+    aug = batch_augment_spectrogram(
+        rng, segments.reshape((k * s_cap,) + segments.shape[2:]),
+        tta_mean, tta_std,
+        num_augmentations=m,
+        augmentation_type="noise_suppression",
+    )  # [K*S*M, C, H, W]
+    aug_f = method.embed_segments(variables, aug).reshape(k, s_cap * m, -1)
+    # each flagged clip scores vs its own episode's support set
+    if use_bpa:
+        # BPA features live in the affinity space of their own joint
+        # [support ‖ query] set — the post-transform support has width
+        # ws+G, incompatible with raw D-dim aug embeddings.  Re-apply
+        # the transform jointly over (raw support, aug segments) per
+        # flagged clip, masking the padded segment slots out of the
+        # transport marginals, and score inside that space.
+        from .models.heads.proto_net import apply_bpa
+
+        aug_mask = jnp.repeat(
+            seg_valid.astype(jnp.float32), m, axis=1
+        )  # [K, S*M]
+        sup_t, aug_t = apply_bpa(sup_raw[ep_idx], aug_f, aug_mask)
+        aug_logits = method.feature_logits(sup_t, aug_t, setting)
+    else:
+        aug_logits = method.feature_logits(sup_f[ep_idx], aug_f, setting)
+
+    votes = clip_vote_counts(
+        seg_logits, batch.query_clip, batch.query_mask, wq
+    )  # [E, Wq, way]
+    way = votes.shape[-1]
+    aug_pred = jax.nn.one_hot(jnp.argmax(aug_logits, axis=-1), way)
+    aug_pred = aug_pred.reshape(k, s_cap, m, way)
+    aug_votes = jnp.sum(
+        aug_pred * seg_valid[:, :, None, None], axis=(1, 2)
+    )  # [K, way]
+    # REPLACE the flagged clips' vote pools (reference substitution
+    # semantics: the original segments are not re-scored)
+    votes = votes.at[ep_idx, clip_idx].set(aug_votes)
+    preds = jnp.argmax(votes, axis=-1).astype(jnp.int32)
+    return jnp.mean(
+        (preds == batch.query_target).astype(jnp.float32), axis=-1
+    ) * 100.0
+
+
 class Test:
     __test__ = False  # not a pytest case (this module is imported by tests)
 
@@ -170,102 +273,13 @@ class Test:
         return self.method.eval_episode_accuracy(seg_logits, batch)
 
     def _tta_eval_step(self, variables, batch, bank, rng, setting: EpisodeSetting):
-        """Energy-OOD + TTA re-classification (reference test.py:331-500):
-        flag the top-20 % most-uncertain query clips, REPLACE each flagged
-        clip's segments with ``num_augmentations`` noise-suppressed copies of
-        each, and re-take the majority vote over the augmented pool.
-
-        This is the reference's *intended* semantics: ``augment_images_with_
-        mask`` (test.py:107-122) substitutes every segment of a flagged clip
-        with M augmented versions (originals dropped) and re-runs the model
-        on the enlarged batch.  The reference's repeats bookkeeping
-        (``repeats[idxs] += M-1``, test.py:413) is only coherent for
-        single-segment clips — multi-segment flagged clips shift every later
-        clip's alignment; here the segment gather is per-clip and exact.
-        All static shapes — flagged count and per-clip segment cap are fixed.
-        """
-        from .episode import materialize_episode_batch
-        from .parallel.mesh import upcast_floats
-
-        if bank is not None:
-            batch = materialize_episode_batch(batch, bank)
-        batch = upcast_floats(batch)  # undo transfer_dtype wire compression
-        from .ops.audio_augmentations import batch_augment_spectrogram
-        from .utils.aggregate import clip_vote_counts
-
-        method = self.method
-        sup_raw, qry_f, _ = method.embed(variables, batch, train=False)
-        sup_f = sup_raw
-        use_bpa = getattr(method, "use_bpa", False)
-        if use_bpa:
-            # mirror forward(): the base votes and the calibration pass ran
-            # through the BPA transform — the TTA path must score on the
-            # same feature space
-            from .models.heads.proto_net import apply_bpa
-
-            sup_f, qry_f = apply_bpa(sup_raw, qry_f, batch.query_mask)
-        seg_logits = method.feature_logits(sup_f, qry_f, setting)
-
-        wq = batch.num_query_clips
-        uncertains, _ = method.clip_uncertainty(seg_logits, batch)
-        top_idx = method.ood_topk(uncertains)
-        k = top_idx.shape[0]
-        m = self.num_augmentations
-        ep_idx = top_idx // wq
-        clip_idx = top_idx % wq
-
-        # all valid segments of each flagged clip, capped at a static S
-        # (the padded segment axis is static; S defaults to the loader's
-        # max_segments_per_clip so nothing is dropped)
-        is_clip = (batch.query_clip[ep_idx] == clip_idx[:, None]) & (
-            batch.query_mask[ep_idx] > 0
-        )  # [K, G]
-        s_cap = min(self.tta_segments_per_clip, is_clip.shape[1])
-        order = jnp.argsort(~is_clip, axis=1, stable=True)[:, :s_cap]  # [K, S]
-        seg_valid = jnp.take_along_axis(is_clip, order, axis=1)  # [K, S]
-        segments = batch.query[ep_idx[:, None], order]  # [K, S, C, H, W]
-
-        aug = batch_augment_spectrogram(
-            rng, segments.reshape((k * s_cap,) + segments.shape[2:]),
-            self.tta_mean, self.tta_std,
-            num_augmentations=m,
-            augmentation_type="noise_suppression",
-        )  # [K*S*M, C, H, W]
-        aug_f = method.embed_segments(variables, aug).reshape(k, s_cap * m, -1)
-        # each flagged clip scores vs its own episode's support set
-        if use_bpa:
-            # BPA features live in the affinity space of their own joint
-            # [support ‖ query] set — the post-transform support has width
-            # ws+G, incompatible with raw D-dim aug embeddings.  Re-apply
-            # the transform jointly over (raw support, aug segments) per
-            # flagged clip, masking the padded segment slots out of the
-            # transport marginals, and score inside that space.
-            from .models.heads.proto_net import apply_bpa
-
-            aug_mask = jnp.repeat(
-                seg_valid.astype(jnp.float32), m, axis=1
-            )  # [K, S*M]
-            sup_t, aug_t = apply_bpa(sup_raw[ep_idx], aug_f, aug_mask)
-            aug_logits = method.feature_logits(sup_t, aug_t, setting)
-        else:
-            aug_logits = method.feature_logits(sup_f[ep_idx], aug_f, setting)
-
-        votes = clip_vote_counts(
-            seg_logits, batch.query_clip, batch.query_mask, wq
-        )  # [E, Wq, way]
-        way = votes.shape[-1]
-        aug_pred = jax.nn.one_hot(jnp.argmax(aug_logits, axis=-1), way)
-        aug_pred = aug_pred.reshape(k, s_cap, m, way)
-        aug_votes = jnp.sum(
-            aug_pred * seg_valid[:, :, None, None], axis=(1, 2)
-        )  # [K, way]
-        # REPLACE the flagged clips' vote pools (reference substitution
-        # semantics: the original segments are not re-scored)
-        votes = votes.at[ep_idx, clip_idx].set(aug_votes)
-        preds = jnp.argmax(votes, axis=-1).astype(jnp.int32)
-        return jnp.mean(
-            (preds == batch.query_target).astype(jnp.float32), axis=-1
-        ) * 100.0
+        return tta_eval_step(
+            self.method, variables, batch, rng, setting,
+            tta_mean=self.tta_mean, tta_std=self.tta_std,
+            num_augmentations=self.num_augmentations,
+            tta_segments_per_clip=self.tta_segments_per_clip,
+            bank=bank,
+        )
 
     def test_loop(self) -> Tuple[float, float]:
         cfg = self.config

@@ -10,8 +10,15 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
     classifier with way/shot×augment_times/query/emb_func kwargs via
     reflection; here it's the same YAML surface over explicit registries)."""
     precision = config.get("precision", "bf16")
+    backbone = dict(config["backbone"])
+    # is_clap replaces the configured backbone with the CLAP encoder
+    # (reference trainer.py:437-441 ignores backbone.name and builds
+    # CLAPBackbone when the flag is set); keep an explicitly CLAP-named
+    # backbone as-is so its kwargs (checkpoint_path) survive
+    if config.get("is_clap") and not str(backbone.get("name", "")).startswith("CLAP"):
+        backbone = {"name": "CLAPBackbone", "kwargs": backbone.get("kwargs")}
     backbone_extra = {"num_channels": 1 if config.get("modality") == "audio" else 3}
-    bk_kwargs = dict(config["backbone"].get("kwargs") or {})
+    bk_kwargs = dict(backbone.get("kwargs") or {})
     bk_kwargs.update({k: v for k, v in backbone_extra.items() if k not in bk_kwargs})
     # MAML-family heads apply the backbone under explicit (adapted) params and
     # never merge running-stat updates — they require batch-stat BN (the
@@ -25,7 +32,7 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
         import jax.numpy as jnp
 
         bk_kwargs.setdefault("dtype", jnp.float32)
-    emb_func = BACKBONES.build(config["backbone"]["name"], **bk_kwargs)
+    emb_func = BACKBONES.build(backbone["name"], **bk_kwargs)
 
     cls_kwargs = dict(config["classifier"].get("kwargs") or {})
     cls_kwargs["emb_func"] = emb_func

@@ -88,6 +88,89 @@ def sklearn_probe_logits(sup_f: jnp.ndarray, sup_y: jnp.ndarray,
     return qry_f @ params["w"] + params["b"]
 
 
+def reference_matched_adaptation(
+    head_kind: str,
+    init_params: Dict[str, Any],
+    sup_f: jnp.ndarray,
+    sup_y: jnp.ndarray,
+    qry_f: jnp.ndarray,
+    perms,
+    batch_size: int,
+    lr: float,
+    momentum: float,
+    weight_decay: float,
+    way: int,
+    margin: float = 0.0,
+    scale: float = 1.0,
+) -> jnp.ndarray:
+    """Bit-matched replay of the reference's ``set_forward_adaptation``
+    inner loop (baseline.py:106-132, baseline_plus.py:133-160,
+    s2m2.py:124-150, negative_margin.py:90-123): minibatch SGD over the
+    given permutation schedule with torch ``optim.SGD`` semantics
+    (d = g + wd·p; buf = d first step else m·buf + d; p −= lr·buf).
+
+    For users migrating from the reference who need its exact eval-time
+    adaptation (rather than the framework's deterministic full-batch
+    default, ``FinetuningBase._episode_head_logits``): supply the torch
+    head's initial parameters and the drawn ``randperm`` schedule.
+
+    ``head_kind``:
+      - ``"linear"`` — params {weight [way,D], bias [way]}; plain logits.
+      - ``"dist_linear"`` — params {weight_g [way,1], weight_v [way,D]}
+        (torch WeightNorm dim=0 decomposition); logits = scale ·
+        (x/(‖x‖+1e-5)) @ (g·v/‖v‖)ᵀ.
+      - ``"neg_cosine"`` — params {weight [way,D]}; inner-step logits
+        subtract ``margin`` from the true-class cosine before ×scale
+        (NegLayer.forward with a label); query logits are plain cosine
+        ×scale.
+    """
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in init_params.items()}
+
+    def head_logits(p, x, labels=None):
+        if head_kind == "linear":
+            return x @ p["weight"].T + p["bias"]
+        if head_kind == "dist_linear":
+            xn = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-5)
+            v = p["weight_v"]
+            w = p["weight_g"] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            return scale * (xn @ w.T)
+        assert head_kind == "neg_cosine", head_kind
+        # F.normalize eps=1e-12 (clamp_min)
+        xn = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
+        wn = p["weight"] / jnp.maximum(
+            jnp.linalg.norm(p["weight"], axis=1, keepdims=True), 1e-12
+        )
+        cos = xn @ wn.T
+        if labels is None:
+            return cos * scale
+        onehot = jax.nn.one_hot(labels, way, dtype=cos.dtype)
+        return (cos - margin * onehot) * scale
+
+    def loss_fn(p, xb, yb):
+        logits = head_logits(p, xb, yb if head_kind == "neg_cosine" else None)
+        return cross_entropy(logits, yb)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    bufs = {k: jnp.zeros_like(v) for k, v in params.items()}
+    n = sup_f.shape[0]
+    step = 0
+    for perm in perms:
+        perm = jnp.asarray(perm)
+        for i in range(0, n, batch_size):
+            sel = perm[i : i + batch_size]
+            grads = grad_fn(params, sup_f[sel], sup_y[sel])
+            for k in params:
+                d = grads[k] + weight_decay * params[k]
+                bufs[k] = d if (step == 0 and momentum) else (
+                    momentum * bufs[k] + d
+                )
+                params[k] = params[k] - lr * (bufs[k] if momentum else d)
+            step += 1
+    return head_logits(params, qry_f, None)
+
+
 class FinetuningBase(MethodBase):
     model_type = ModelType.FINETUNING
 
@@ -235,6 +318,52 @@ class NegNet(FinetuningBase):
         super().__init__(emb_func, **kwargs)
         self.margin = margin
         self.scale_factor = scale_factor
+        inner = dict(kwargs.get("inner_param") or {})
+        # eval adaptation trains a fresh NegLayer with ITS OWN margin/scale
+        # (negative_margin.py:90-96), not the global-train ones
+        self.inner_margin = float(inner.get("inner_margin", margin))
+        self.inner_scale = float(inner.get("inner_scale_factor", scale_factor))
+
+    def _episode_head_logits(self, sup_f, sup_y, qry_f, n_steps, way=None):
+        """NegLayer adaptation (reference negative_margin.py:90-123) on the
+        framework's deterministic full-batch schedule: prototype warm start
+        (cosine heads can't start at 0), inner steps subtract
+        ``inner_margin`` from the true-class cosine before ×``inner_scale``,
+        query logits are plain cosine ×``inner_scale``.  Both sides
+        L2-normalize features AND weights (NegLayer.forward)."""
+        way = way or self.way_num
+        onehot = jax.nn.one_hot(sup_y, way, dtype=sup_f.dtype)
+        counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
+        w0 = ((sup_f.T @ onehot) / counts).T  # [way, D]
+
+        def cos(w, f):
+            fn = f / jnp.maximum(
+                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12
+            )
+            wn = w / jnp.maximum(
+                jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12
+            )
+            return fn @ wn.T
+
+        def support_loss(w):
+            logits = self.inner_scale * (cos(w, sup_f) - self.inner_margin * onehot)
+            return cross_entropy(logits, sup_y)
+
+        tx = optax.chain(
+            optax.add_decayed_weights(self.inner_wd),
+            optax.trace(decay=self.inner_momentum) if self.inner_momentum
+            else optax.identity(),
+            optax.scale(-self.inner_lr),
+        )
+
+        def step(carry, _):
+            w, st = carry
+            grads = jax.grad(support_loss)(w)
+            updates, st = tx.update(grads, st, w)
+            return (optax.apply_updates(w, updates), st), None
+
+        (w, _), _ = jax.lax.scan(step, (w0, tx.init(w0)), None, length=n_steps)
+        return self.inner_scale * cos(w, qry_f)
 
     def _global_logits(self, variables, feats):
         w = variables["params"]["classifier"]["kernel"].T

@@ -82,8 +82,11 @@ class R2D2MCL(R2D2):
 
     needs_feature_map = True
 
-    def __init__(self, emb_func, katz_factor: float = 0.999,
-                 gamma: float = 10.0, gamma2: float = 5.0, **kwargs):
+    def __init__(self, emb_func, katz_factor: float = 0.5,
+                 gamma: float = 20.0, gamma2: float = 10.0, **kwargs):
+        # the reference constructor has NO defaults (r2d2_mcl.py:138 reads
+        # kwargs.get — None unless configured); every shipped reproduce
+        # YAML uses katz_factor 0.5 / gamma 20 / gamma2 10, same as MCL
         super().__init__(emb_func, **kwargs)
         self.katz_factor = katz_factor
         self.gamma = gamma

