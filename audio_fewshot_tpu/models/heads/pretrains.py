@@ -58,11 +58,64 @@ class FEATPretrain(GlobalPretrain):
     val_metric = "euclidean"
 
 
+class _PreFC(nn.Module):
+    """MTLPretrain's 2-layer global head (reference mtl_pretrain.py:56-60)."""
+
+    num_class: int
+    hid: int = 1000
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hid, name="fc1")(x))
+        return nn.Dense(self.num_class, name="fc2")(x)
+
+
 @CLASSIFIERS.register("MTLPretrain")
 class MTLPretrain(GlobalPretrain):
-    """Reference mtl_pretrain.py — backbone pretrain for MTL."""
+    """Reference mtl_pretrain.py — global CE pretrain through ``pre_fc``
+    (Linear→ReLU→Linear, :56-60); meta-val adapts a FRESH linear base
+    learner with ``inner_param['iter']`` full-support GD steps at the
+    hard-coded lr 0.01 (:134-153), then classifies the queries.
 
-    val_metric = "euclidean"
+    Delta (documented): the reference kaiming-resets the learner per
+    episode (:44-47); here the init is deterministic zeros so eval is
+    reproducible under jit (the first GD step from zero logits is
+    well-defined — uniform softmax)."""
+
+    def __init__(self, emb_func, inner_param: Optional[Dict] = None,
+                 **kwargs):
+        super().__init__(emb_func, inner_param=inner_param, **kwargs)
+        self.adapt_iter = int(dict(inner_param or {}).get("iter", 5))
+        self.modules["classifier"] = _PreFC(self.num_class)
+
+    def _global_logits(self, variables, feats):
+        return self.modules["classifier"].apply(
+            {"params": variables["params"]["classifier"]}, feats
+        )
+
+    def forward(self, variables, batch, setting):
+        from ..losses import cross_entropy as _ce
+
+        sup_f, qry_f, _ = self.embed(variables, batch, train=False)
+        way = setting.way
+
+        def adapt(s, y, q):
+            w = jnp.zeros((s.shape[-1], way), s.dtype)
+            b = jnp.zeros((way,), s.dtype)
+
+            def support_loss(p):
+                return _ce(s @ p[0] + p[1], y)
+
+            def step(p, _):
+                g = jax.grad(support_loss)(p)
+                return (p[0] - 0.01 * g[0], p[1] - 0.01 * g[1]), None
+
+            (w, b), _ = jax.lax.scan(
+                step, (w, b), None, length=self.adapt_iter
+            )
+            return q @ w + b
+
+        return jax.vmap(adapt)(sup_f, batch.support_target, qry_f)
 
 
 @CLASSIFIERS.register("DeepBDC_Pretrain")
@@ -115,12 +168,107 @@ class DeepBDCPretrain(GlobalPretrain):
         return super().forward(variables, batch, setting)
 
 
-@CLASSIFIERS.register("FRN_Pretrain")
-class FRNPretrain(GlobalPretrain):
-    """Reference frn_pretrain.py — global CE (+aux rank) pretrain with
-    euclid-proto meta-val over pooled features."""
+class _FRNPretrainHead(nn.Module):
+    """FRN_Pretrain parameters (reference frn_pretrain.py:21-36): trainable
+    ``scale``, frozen-at-zero ridge coefficients ``r = [α, β]``
+    (requires_grad=False, :31), and the global category matrix M
+    (``cat_mat`` ~ N(0, 1), :33-36)."""
 
-    val_metric = "euclidean"
+    num_class: int
+    resolution: int
+    feat_dim: int
+
+    @nn.compact
+    def __call__(self, train: bool = False):
+        scale = self.param("scale", lambda r: jnp.asarray(1.0, jnp.float32))
+        r = self.param("r", nn.initializers.zeros, (2,))
+        cat_mat = self.param(
+            "cat_mat", nn.initializers.normal(1.0),
+            (self.num_class, self.resolution, self.feat_dim),
+        )
+        # r is non-trainable in the reference; stop_gradient freezes it
+        # without a custom optimizer partition
+        return scale, jax.lax.stop_gradient(r), cat_mat
+
+
+@CLASSIFIERS.register("FRN_Pretrain")
+class FRNPretrain(FinetuningBase):
+    """Reference frn_pretrain.py — FAITHFUL objective: features are scaled
+    by 1/√640 (hard-coded for ANY channel count, :136/:182), every spatial
+    position is ridge-reconstructed from the global category matrix
+    (``get_recon_dist`` Woodbury form, :59-101 — the same math as the FRN
+    head, reused from heads/frn.py), and the NLL of the position-averaged
+    neg-distance logits trains backbone + cat_mat + scale (:169-190).
+    Eval (``set_forward``, :127-167) reconstructs query positions from the
+    episode's support pools and log-softmaxes (:37-42)."""
+
+    model_type = FinetuningBase.model_type
+    needs_feature_map = True
+
+    def __init__(self, emb_func, num_class: int = 64, **kwargs):
+        super().__init__(emb_func, num_class=num_class, **kwargs)
+        # training classifies against cat_mat, not a linear head
+        del self.modules["classifier"]
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        c, h, w = feats.shape[-3:]
+        self.modules["frn_head"] = _FRNPretrainHead(self.num_class, h * w, c)
+        sub = self.modules["frn_head"].init({"params": rngs["params"]})
+        self._merge_init(variables, "frn_head", sub)
+
+    @staticmethod
+    def _rows(feats):
+        """[n, c, h, w] → positions-as-rows [n, h·w, c], pre-scaled by the
+        reference's hard-coded 1/√640 (frn_pretrain.py:136/182)."""
+        n, c, h, w = feats.shape
+        rows = feats.reshape(n, c, h * w).transpose(0, 2, 1)
+        return rows / jnp.sqrt(jnp.asarray(640.0, rows.dtype))
+
+    def loss(self, variables, batch, setting, rng):
+        from .frn import frn_recon_dist
+
+        assert isinstance(batch, FlatBatch), (
+            "FRN_Pretrain trains on flat batches (frn_pretrain.py:169-190)"
+        )
+        feats, updates = self.apply_module(
+            variables, "emb_func", batch.data, train=True, rng=rng
+        )
+        (scale, r, cat_mat), _ = self.apply_module(variables, "frn_head")
+        rows = self._rows(feats)
+        n, hw, c = rows.shape
+        dist = frn_recon_dist(
+            rows.reshape(1, n * hw, c), cat_mat[None], r[0], r[1]
+        )
+        neg = -dist.reshape(n, hw, self.num_class).mean(axis=1) * scale
+        logp = jax.nn.log_softmax(neg)
+        loss = -jnp.mean(
+            jnp.take_along_axis(logp, batch.target[:, None], axis=1)
+        )
+        acc = jnp.mean(
+            (jnp.argmax(neg, -1) == batch.target).astype(jnp.float32)
+        ) * 100.0
+        return loss, LossOutput(
+            seg_logits=logp, metrics={"acc": acc}, updates=updates
+        )
+
+    def forward(self, variables, batch, setting):
+        from .frn import frn_recon_dist
+
+        sup, qry, _ = self.embed(variables, batch, train=False)
+        (scale, r, _), _ = self.apply_module(variables, "frn_head")
+        e, ws, c, h, w = sup.shape
+        hw = h * w
+        way, shot = setting.way, setting.shot
+        sup_rows = self._rows(sup.reshape(e * ws, c, h, w)).reshape(
+            e, way, shot * hw, c
+        )
+        g = qry.shape[1]
+        q_rows = self._rows(qry.reshape(e * g, c, h, w)).reshape(
+            e, g * hw, c
+        )
+        dist = frn_recon_dist(q_rows, sup_rows, r[0], r[1])
+        neg = -dist.reshape(e, g, hw, way).mean(axis=2) * scale
+        return jax.nn.log_softmax(neg)
 
 
 @CLASSIFIERS.register("S2M2")

@@ -129,6 +129,193 @@ def test_e2e_negnet_matched_adaptation_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_mtl_pretrain_trained_parity(tmp_path):
+    """Trained MTLPretrain/Conv64F: global CE through the 2-layer pre_fc,
+    eval = fresh linear base learner + 5 full-support GD steps at the
+    hard-coded lr 0.01 (mtl_pretrain.py:134-153).  The reference
+    kaiming-resets the learner per episode (:44-47) — patched to the zero
+    init our deterministic path uses, making both GD trajectories
+    identical."""
+    import torch
+
+    trainer, config = _train_ours(
+        tmp_path, "MTLPretrain", "Conv64F", dict(BK_FLAT),
+        {"feat_dim": FEAT_DIM, "num_class": 8, "inner_param": {"iter": 5}},
+        epochs=1, train_episode=8, batch_size=32,
+    )
+
+    def zero_init_patch(model):
+        bl = model.base_learner
+
+        def zero_reset():
+            bl.weight = torch.nn.Parameter(
+                torch.zeros(bl.way_num, bl.z_dim)
+            )
+            bl.bias = torch.nn.Parameter(torch.zeros(bl.way_num))
+
+        bl.reset_parameters = zero_reset
+
+    row = _cross_check(
+        trainer, config, n_batches=8, atol=1e-3,
+        head_inverter=cfp.invert_mtl_pretrain_head_params,
+        ref_runner=cfp.run_reference_eval_mtl_pretrain,
+        ref_patch=zero_init_patch,
+    )
+    assert row["episodes"] == 16
+
+
+@pytest.mark.slow
+def test_e2e_ifsl_pretrain_trained_parity(tmp_path):
+    """Trained IfslPretrain/Conv64F.  The reference eval is a STUB
+    (``set_forward`` returns ``(0, 0)``, matchingnetifsl_pretrain.py:32-38),
+    so the method's whole live surface is driven instead: trained global
+    logits via ``set_forward_loss`` on identical flat batches, and the
+    'featuring' class-mean artifact (:56-67) vs our
+    ``compute_class_features``."""
+    import jax
+    import torch
+
+    from audio_fewshot_tpu.utils.torch_convert import invert_backbone_params
+
+    trainer, config = _train_ours(
+        tmp_path, "IfslPretrain", "Conv64F", dict(BK_FLAT),
+        {"feat_dim": FEAT_DIM, "num_class": 8},
+        epochs=1, train_episode=8, batch_size=32,
+    )
+    variables = jax.device_get(trainer.variables)
+    setting = trainer.eval_setting
+    state = invert_backbone_params(variables, "Conv64F")
+    state.update(cfp.invert_global_linear_head_params(variables))
+    model = cfp.build_reference_model(
+        "IfslPretrain", "Conv64F", dict(BK_FLAT), setting.way, setting.shot,
+        setting.query, state,
+        cls_kwargs={"feat_dim": FEAT_DIM, "num_class": 8},
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(32, 1, 32, 30)).astype(np.float32)
+    y = rng.integers(0, 8, size=(32,)).astype(np.int64)
+
+    # trained global logits through set_forward_loss (featuring off)
+    with torch.no_grad():
+        ref_out, ref_acc, ref_loss = model.set_forward_loss(
+            (torch.from_numpy(x), torch.from_numpy(y))
+        )
+    ref_out = ref_out.numpy()
+    feats, _ = trainer.method.apply_module(
+        variables, "emb_func", x, train=False
+    )
+    feats = np.asarray(feats).reshape(32, -1)
+    ours_out = np.asarray(trainer.method._global_logits(variables, feats))
+    rel = np.max(np.abs(ours_out - ref_out)) / max(np.max(np.abs(ref_out)), 1e-6)
+    assert rel <= 1e-4, rel
+    assert float(ref_loss) > 0
+
+    # 'featuring' class-mean artifact (normalized, loss zeroed)
+    feat_path = str(tmp_path / "ifsl_features.npy")
+    model.featuring = True
+    model.norm = True
+    model.feature_path = feat_path
+    with torch.no_grad():
+        _, _, zero_loss = model.set_forward_loss(
+            (torch.from_numpy(x), torch.from_numpy(y))
+        )
+    assert float(zero_loss) == 0.0
+    ref_means = np.load(feat_path)
+    ours_means = np.asarray(trainer.method.compute_class_features(
+        variables, x, y, normalize=True
+    ))
+    np.testing.assert_allclose(ours_means, ref_means, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_e2e_frn_pretrain_trained_parity(tmp_path):
+    """Trained FRN_Pretrain/Conv64F: the faithful cat_mat ridge-recon
+    objective (features/√640, position-averaged neg recon distance ×scale)
+    with episode eval reconstructing query positions from support pools
+    (frn_pretrain.py:127-190).  The reference set_forward assumes
+    episode_size 1 (``query_feat[0]``, :154) — fixture matches."""
+    trainer, config = _train_ours(
+        tmp_path, "FRN_Pretrain", "Conv64F", dict(BK_MAPS),
+        {"num_class": 8},
+        epochs=1, train_episode=8, batch_size=16, episode_size=1,
+    )
+    row = _cross_check(
+        trainer, config, n_batches=8, atol=1e-3,
+        head_inverter=cfp.invert_frn_pretrain_head_params,
+    )
+    assert row["episodes"] == 8
+
+
+@pytest.mark.slow
+def test_e2e_dmatchingnet_trained_parity(tmp_path):
+    """Trained DMatchingNet/Conv64F on the shipped-config branch (single
+    fused blocks, d_feature 'ed', concat fusion, counterfactual): the full
+    IFSL pipeline — pretrained-classifier pd → class-feature projection →
+    split fusion → per-split bidirectional-LSTM G encoder + FCE → relu-cos
+    attention → counterfactual subtraction → split-averaged log-probs —
+    against the intact reference ``set_forward`` (matchingnet_ifsl.py:
+    243-299; constructors' hard-coded .cuda() identity-patched)."""
+    import jax
+
+    from audio_fewshot_tpu.utils.torch_convert import invert_backbone_params
+
+    feat_file = str(tmp_path / "pretrain_features.npy")
+    np.save(feat_file, np.random.default_rng(5).normal(
+        size=(8, FEAT_DIM)).astype(np.float32))
+    ifsl_param = {
+        "n_splits": 4, "class_num": 8, "num_classes": 8, "temp": 10.0,
+        "d_feature": "ed", "fusion": "concat", "logit_fusion": "product",
+        "single": True, "use_counterfactual": True, "use_x_only": False,
+        "x_zero": False, "normalize_d": False, "normalize_ed": False,
+        "normalize_before_center": False,
+        "preprocess_before_split": "none", "preprocess_after_split": "none",
+        "feature_path": feat_file, "cls_path": None,
+    }
+    cls_kwargs = {"feat_dim": FEAT_DIM, "ifsl_param": ifsl_param,
+                  "inner_param": {}}
+    trainer, config = _train_ours(
+        tmp_path, "DMatchingNet", "Conv64F", dict(BK_FLAT), cls_kwargs,
+        epochs=1, train_episode=6, max_segments_per_clip=1,
+    )
+    variables = jax.device_get(trainer.variables)
+    state = invert_backbone_params(variables, "Conv64F")
+    # IFSLUtils registers the SAME backbone again as utils.embed_func
+    # (matchingnet_ifsl.py:14-26) — duplicate the keys for a complete load
+    state.update({
+        "utils.embed_func." + k[len("emb_func."):]: v
+        for k, v in list(state.items()) if k.startswith("emb_func.")
+    })
+    state.update(cfp.invert_dmatchingnet_head_params(
+        variables, n_splits=4, single=True
+    ))
+    setting = trainer.eval_setting
+    model = cfp.build_reference_model(
+        "DMatchingNet", "Conv64F", dict(BK_FLAT), setting.way, setting.shot,
+        setting.query, state, cls_kwargs=cls_kwargs,
+    )
+
+    from audio_fewshot_tpu.data import get_dataloader
+
+    loader = get_dataloader(
+        dict(config, device_data_bank=False), "test",
+        trainer.method.model_type, False, "audio",
+    )[0]
+    batches = [b for _, b in zip(range(6), loader.epoch(1))]
+    ours_logits, ours_accs = cfp.run_ours_eval(
+        trainer.method, variables, batches, setting
+    )
+    ref_logits, ref_accs = cfp.run_reference_eval_dmatching(
+        model, batches, setting.way, setting.shot, setting.query
+    )
+    row = cfp.compare(ours_logits, ref_logits, ours_accs, ref_accs,
+                      "DMatchingNet")
+    assert row["rel_logit_diff"] <= 2e-3, row
+    assert row["acc_diff"] <= 0.5, row
+    assert row["segment_pred_agreement"] >= 0.99, row
+
+
+@pytest.mark.slow
 def test_e2e_r2d2mcl_trained_parity(tmp_path):
     """Trained R2D2MCL/Conv64F: MCLMask Katz-centrality query pooling into
     the closed-form ridge (r2d2_mcl.py:143-173) with the three learned

@@ -156,6 +156,7 @@ def build_reference_model(
         "ANIL": "libfewshot_core.model.meta.anil",
         "BOIL": "libfewshot_core.model.meta.boil",
         "MTL": "libfewshot_core.model.meta.mtl",
+        "DMatchingNet": "libfewshot_core.model.meta.matchingnet_ifsl",
         "LEO": "libfewshot_core.model.meta.leo",
         "VERSA": "libfewshot_core.model.meta.versa",
         "MetabaselinePretrain":
@@ -336,6 +337,13 @@ def build_reference_model(
             # (abstract_model.py:131-132)
             inner_param=dict(ck.get("inner_param") or {}),
         )
+    if method == "DMatchingNet":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            inner_param=dict(ck.get("inner_param") or {}),
+            feat_dim=ck.get("feat_dim", 64),
+            ifsl_param=dict(ck.get("ifsl_param") or {}),
+        )
     if method == "MTLPretrain":
         ck = dict(cls_kwargs or {})
         kwargs.update(
@@ -372,13 +380,24 @@ def build_reference_model(
             penalty_C=ck.get("penalty_C", 0.1),
             is_distill=False,
         )
-    model = getattr(load_ref(cls_mod), method)(**kwargs)
-    if method == "FRN_Pretrain":
+    if method == "DMatchingNet":
+        # MatchingNetLayer/FCE constructors hard-code .cuda() on modules AND
+        # on the FCE's c_0 tensor (matchingnet_ifsl.py:184-196, 232-240) —
+        # identity both so the model is constructible on CPU
+        orig_mod_cuda = torch.nn.Module.cuda
+        torch.nn.Module.cuda = lambda self, *a, **k: self
+        try:
+            with cuda_to_cpu():
+                model = getattr(load_ref(cls_mod), method)(**kwargs)
+        finally:
+            torch.nn.Module.cuda = orig_mod_cuda
+    else:
+        model = getattr(load_ref(cls_mod), method)(**kwargs)
+    if method == "FRN_Pretrain" and "frn_layer.cat_mat" in state_dict:
         # FRNLayer hard-codes resolution=72 (frn_pretrain.py:28) — only
         # valid for the reference's own feature geometry; re-size the
-        # category matrix to the fixture resolution so the converted
-        # cat_mat can load
-        res = int((cls_kwargs or {}).get("resolution", 72))
+        # category matrix to the converted cat_mat's resolution so it loads
+        res = int(np.asarray(state_dict["frn_layer.cat_mat"]).shape[1])
         layer = model.frn_layer
         layer.resolution = res
         if layer.cat_mat.shape[1] != res:
@@ -406,6 +425,9 @@ def build_reference_model(
         # neither set_forward_loss (disclass/classifier_rot only,
         # s2m2.py:107-121) nor eval (fresh distLinear) reads it
         and not (method == "S2M2" and m.startswith("classifier."))
+        # MTLPretrain's base_learner is reset_parameters()'d per episode
+        # before any use (mtl_pretrain.py:89) — its stored values are dead
+        and not (method == "MTLPretrain" and m.startswith("base_learner."))
     ]
     if real_missing or unexpected:
         raise KeyError(
@@ -1497,6 +1519,216 @@ def run_ours_matched_finetune(
             accs.append(_clip_vote_acc(np.argmax(out, -1), counts, way, query))
             idx += 1
     return logits_out, accs
+
+
+def run_reference_eval_mtl_pretrain(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """MTLPretrain eval, intended pipeline: its ``set_forward`` carries the
+    snapshot's stale 4-value unpack of the 5-tuple split
+    (mtl_pretrain.py:83 vs abstract_model.py:297-321), so drive the intact
+    pieces per episode: base-learner reset + ``set_forward_adaptation``
+    full-support GD + query logits (:88-97)."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    with cuda_to_cpu():
+        for sup_f, qry_f, counts in _iter_reference_episodes(
+            model, batches, way, shot, query
+        ):
+            sup_y = torch.from_numpy(np.repeat(np.arange(way), shot))
+            model.base_learner.reset_parameters()
+            with torch.enable_grad():
+                fast = model.set_forward_adaptation(sup_f, sup_y)
+            with torch.no_grad():
+                out = model.base_learner(qry_f, fast)
+            out = out.detach().cpu().numpy()
+            logits_out.append(out)
+            accs.append(_clip_vote_acc(np.argmax(out, -1), counts, way, query))
+    return logits_out, accs
+
+
+def _invert_lstm_cell(tree) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """flax OptimizedLSTMCell tree → torch (weight_ih, weight_hh, bias_ih,
+    bias_hh) with torch's i|f|g|o gate stacking; the flax cell carries one
+    combined bias (converted forward as b_ih+b_hh), returned as bias_ih with
+    zero bias_hh — forward-equivalent."""
+    order = "ifgo"
+    w_ih = np.concatenate(
+        [np.asarray(tree[f"i{g}"]["kernel"]).T for g in order], axis=0
+    )
+    w_hh = np.concatenate(
+        [np.asarray(tree[f"h{g}"]["kernel"]).T for g in order], axis=0
+    )
+    b_ih = np.concatenate(
+        [np.asarray(tree[f"h{g}"]["bias"]) for g in order], axis=0
+    )
+    return (np.ascontiguousarray(w_ih), np.ascontiguousarray(w_hh),
+            b_ih, np.zeros_like(b_ih))
+
+
+def invert_dmatchingnet_head_params(variables, n_splits: int,
+                                    single: bool = True) -> Dict[str, np.ndarray]:
+    """flax DMatchingNet head (pretrain_cls + per-split MatchingNetLayers,
+    heads/ifsl.py) → reference keys: ``utils.linear`` (IFSLUtils, :19),
+    ``{blocks|x_blocks|d_blocks}.{j}.G_encoder`` (bidirectional LSTM) and
+    ``.FCE.lstmcell`` (matchingnet_ifsl.py:191-240)."""
+    p = variables["params"]
+    out: Dict[str, np.ndarray] = {
+        "utils.linear.weight": np.ascontiguousarray(
+            np.asarray(p["pretrain_cls"]["kernel"]).T
+        ),
+        "utils.linear.bias": np.asarray(p["pretrain_cls"]["bias"]),
+    }
+    if single:
+        pairs = [(f"block{j}", f"blocks.{j}") for j in range(n_splits)]
+    else:
+        pairs = []
+        for j in range(n_splits):
+            pairs.append((f"x_block{j}", f"x_blocks.{j}"))
+            pairs.append((f"d_block{j}", f"d_blocks.{j}"))
+    for flax_name, torch_name in pairs:
+        t = p[flax_name]
+        # OptimizedLSTMCell_0 = forward direction, _1 = reverse (creation
+        # order in MatchingNetLayer.__call__)
+        for cell_key, suffix in (("OptimizedLSTMCell_0", ""),
+                                 ("OptimizedLSTMCell_1", "_reverse")):
+            w_ih, w_hh, b_ih, b_hh = _invert_lstm_cell(t[cell_key])
+            out[f"{torch_name}.G_encoder.weight_ih_l0{suffix}"] = w_ih
+            out[f"{torch_name}.G_encoder.weight_hh_l0{suffix}"] = w_hh
+            out[f"{torch_name}.G_encoder.bias_ih_l0{suffix}"] = b_ih
+            out[f"{torch_name}.G_encoder.bias_hh_l0{suffix}"] = b_hh
+        w_ih, w_hh, b_ih, b_hh = _invert_lstm_cell(t["fce"]["cell"])
+        out[f"{torch_name}.FCE.lstmcell.weight_ih"] = w_ih
+        out[f"{torch_name}.FCE.lstmcell.weight_hh"] = w_hh
+        out[f"{torch_name}.FCE.lstmcell.bias_ih"] = b_ih
+        out[f"{torch_name}.FCE.lstmcell.bias_hh"] = b_hh
+    return out
+
+
+def run_reference_eval_dmatching(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """DMatchingNet over dense episodes, driving the intended per-episode
+    pipeline (matchingnet_ifsl.py:252-299): IFSLUtils.fusing → per-split
+    MatchingNetLayer refinement → relu-cos scores (+counterfactual) →
+    split-averaged attention log-probs.  ``set_forward`` itself is broken
+    as snapshotted — stale 4-value unpack of the 5-tuple
+    ``split_by_episode`` (matchingnet_ifsl.py:246-251 vs
+    abstract_model.py:297-321)."""
+    import torch
+    import torch.nn.functional as F
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    local_q = np.repeat(np.arange(way), query)
+    with cuda_to_cpu(), torch.no_grad():
+        for b in batches:
+            sup = np.asarray(b.support)
+            qry = np.asarray(b.query)
+            mask = np.asarray(b.query_mask) > 0
+            e = sup.shape[0]
+            for i in range(e):
+                rows = qry[i][mask[i]]
+                assert rows.shape[0] == way * query, (
+                    "dense episodes required (each clip exactly one segment)"
+                )
+                sup_t = torch.from_numpy(np.ascontiguousarray(sup[i]))
+                qry_t = torch.from_numpy(np.ascontiguousarray(rows))
+                ns, nq = sup_t.shape[0], qry_t.shape[0]
+                scores = torch.zeros(model.n_splits, nq, ns)
+                c_scores = torch.zeros(model.n_splits, nq, ns)
+                if model.single:
+                    f_s, f_q, c_f_q = model.utils.fusing(sup_t, qry_t)
+                    for j in range(model.n_splits):
+                        s_new, q_new = model.set_forward_adaptation(
+                            model.blocks[j], f_s[j], f_q[j]
+                        )
+                        _, c_q_new = model.set_forward_adaptation(
+                            model.blocks[j], f_s[j], c_f_q[j]
+                        )
+                        scores[j] = F.relu(
+                            model.utils.normalize(q_new).mm(
+                                model.utils.normalize(s_new).t()
+                            )
+                        ) * model.temp
+                        c_scores[j] = F.relu(
+                            model.utils.normalize(c_q_new).mm(
+                                model.utils.normalize(s_new).t()
+                            )
+                        ) * model.temp
+                else:
+                    sp_s, d_s, sp_q, d_q = model.utils.fusing(sup_t, qry_t)
+                    for j in range(model.n_splits):
+                        s_x, q_x = model.set_forward_adaptation(
+                            model.x_blocks[j], sp_s[j], sp_q[j]
+                        )
+                        s_d, q_d = model.set_forward_adaptation(
+                            model.d_blocks[j], d_s[j], d_q[j]
+                        )
+                        x_sc = F.relu(
+                            model.utils.normalize(q_x).mm(
+                                model.utils.normalize(s_x).t()
+                            )
+                        )
+                        d_sc = F.relu(
+                            model.utils.normalize(q_d).mm(
+                                model.utils.normalize(s_d).t()
+                            )
+                        )
+                        if model.use_x_only:
+                            scores[j] = x_sc * model.temp
+                            c_scores[j] = torch.ones_like(x_sc) * model.temp
+                        else:
+                            scores[j] = model.utils.fuse_proba(x_sc, d_sc) * model.temp
+                            c_scores[j] = model.utils.fuse_proba(
+                                torch.ones_like(x_sc), d_sc
+                            ) * model.temp
+                if model.use_counterfactual:
+                    scores = scores - c_scores
+                scores = scores.softmax(dim=2)
+                labels = model.utils.one_hot(
+                    torch.from_numpy(np.repeat(np.arange(way), shot)), way
+                )
+                proba = scores.mean(dim=0)
+                logprobs = (proba.mm(labels) + 1e-6).log()
+                out = logprobs.detach().cpu().numpy()
+                logits_out.append(out)
+                accs.append(
+                    float(np.mean(np.argmax(out, -1) == local_q) * 100.0)
+                )
+    return logits_out, accs
+
+
+def invert_frn_pretrain_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax FRN_Pretrain head (``frn_head``: scale, r, cat_mat —
+    heads/pretrains.py) → reference ``frn_layer`` (frn_pretrain.py:21-36)."""
+    head = variables["params"]["frn_head"]
+    return {
+        "frn_layer.scale": np.asarray(head["scale"]).reshape(1),
+        "frn_layer.r": np.asarray(head["r"]),
+        "frn_layer.cat_mat": np.asarray(head["cat_mat"]),
+    }
+
+
+def invert_mtl_pretrain_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax MTLPretrain 2-layer global head (``classifier`` _PreFC,
+    heads/pretrains.py) → reference ``pre_fc`` Sequential
+    (mtl_pretrain.py:56-60)."""
+    head = variables["params"]["classifier"]
+    return {
+        "pre_fc.0.weight": np.ascontiguousarray(
+            np.asarray(head["fc1"]["kernel"]).T
+        ),
+        "pre_fc.0.bias": np.asarray(head["fc1"]["bias"]),
+        "pre_fc.2.weight": np.ascontiguousarray(
+            np.asarray(head["fc2"]["kernel"]).T
+        ),
+        "pre_fc.2.bias": np.asarray(head["fc2"]["bias"]),
+    }
 
 
 def invert_dist_linear_head_params(
