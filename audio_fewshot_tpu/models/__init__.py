@@ -28,6 +28,11 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
     cls_factory = CLASSIFIERS.get(config["classifier"]["name"])
     if getattr(cls_factory, "requires_batch_stat_bn", False):
         bk_kwargs.setdefault("use_running_statistics", False)
+    # finer-grained backbone knobs a method's reference semantics demand
+    # (e.g. DMatchingNet's maml conversion covers only BatchNorm2d, leaving
+    # the Conv64F logits BN1d in standard running-stat mode)
+    for k, v in (getattr(cls_factory, "backbone_kwarg_defaults", None) or {}).items():
+        bk_kwargs.setdefault(k, v)
     if precision == "fp32":
         import jax.numpy as jnp
 

@@ -32,6 +32,13 @@ class ConvNF(nn.Module):
     last_pool: bool = True
     maxpool_last2: bool = True
     use_running_statistics: bool = True
+    #: the logits-head BN1d may follow DIFFERENT semantics from the conv
+    #: BN2ds: the reference's convert_maml_module wraps ONLY BatchNorm2d in
+    #: the always-batch-stat fw variant (maml_module.py:138-141), so a
+    #: maml-converted model in eval() mode runs batch-stat conv BNs but a
+    #: standard running-stat logits BN1d (DMatchingNet; matchingnet_ifsl.py:
+    #: 241).  None = follow use_running_statistics.
+    logits_bn_running_statistics: Optional[bool] = None
     num_channels: int = 1
     logits_dim: int = 1600
     dtype: Any = jnp.bfloat16
@@ -80,8 +87,13 @@ class ConvNF(nn.Module):
             # mode (set_forward_adaptation calls .train(); build_method
             # forces use_running_statistics=False there — torch oracle:
             # tests/test_maml_oracle.py)
+            logits_bn_running = (
+                self.use_running_statistics
+                if self.logits_bn_running_statistics is None
+                else self.logits_bn_running_statistics
+            )
             flat = BatchNorm(
-                use_running_statistics=self.use_running_statistics,
+                use_running_statistics=logits_bn_running,
                 name="logits_bn",
             )(flat, train,
               mask=None if sample_mask is None else sample_mask[:, None])
