@@ -530,9 +530,60 @@ def _invert_resnet12bdc(params, stats, state):
     state["bdc_pool.temperature"] = np.asarray(head_p["log_temperature"])
 
 
+def _invert_vit_class_aware(params, stats, state):
+    """flax class-aware VisionTransformer (backbones/vit.py) → reference
+    vit_class_aware.py state keys.  Inverse of the forward mapping proven
+    by tests/test_torch_parity6.py: packed qkv rows re-stacked, flax conv
+    kernel HWIO → torch OIHW, MHA head-split kernels re-flattened."""
+    state["patch_embed.proj.weight"] = np.ascontiguousarray(
+        np.transpose(params["patch_embed"]["kernel"], (3, 2, 0, 1))
+    )
+    state["patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["bias"])
+    state["cls_token"] = np.asarray(params["cls_token"])
+    state["pos_embed"] = np.asarray(params["pos_embed"])
+    if "norm" in params:
+        state["norm.weight"] = np.asarray(params["norm"]["scale"])
+        state["norm.bias"] = np.asarray(params["norm"]["bias"])
+    blocks = sorted(
+        (k for k in params if k.startswith("block")),
+        key=lambda k: int(k[len("block"):]),
+    )
+    for i, bk in enumerate(blocks):
+        b = params[bk]
+        dim = b["fc2"]["kernel"].shape[-1]
+        for ln in ("norm1", "norm2"):
+            state[f"blocks.{i}.{ln}.weight"] = np.asarray(b[ln]["scale"])
+            state[f"blocks.{i}.{ln}.bias"] = np.asarray(b[ln]["bias"])
+        attn = b["attn"]
+
+        def flat_in(tree):
+            # [dim, heads, hd] → torch [dim_out, dim_in] row-major
+            return np.ascontiguousarray(
+                np.asarray(tree["kernel"]).reshape(dim, dim).T
+            ), np.asarray(tree["bias"]).reshape(dim)
+
+        q_w, q_b = flat_in(attn["query"])
+        k_w, k_b = flat_in(attn["key"])
+        v_w, v_b = flat_in(attn["value"])
+        state[f"blocks.{i}.attn.qkv.weight"] = np.concatenate(
+            [q_w, k_w, v_w], axis=0
+        )
+        state[f"blocks.{i}.attn.qkv.bias"] = np.concatenate([q_b, k_b, v_b])
+        state[f"blocks.{i}.attn.proj.weight"] = np.ascontiguousarray(
+            np.asarray(attn["out"]["kernel"]).reshape(dim, dim).T
+        )
+        state[f"blocks.{i}.attn.proj.bias"] = np.asarray(attn["out"]["bias"])
+        for fc in ("fc1", "fc2"):
+            state[f"blocks.{i}.mlp.{fc}.weight"] = np.ascontiguousarray(
+                np.asarray(b[fc]["kernel"]).T
+            )
+            state[f"blocks.{i}.mlp.{fc}.bias"] = np.asarray(b[fc]["bias"])
+
+
 _INVERTERS = {
     "Conv64F": _invert_convnf,
     "Conv32F": _invert_convnf,
+    "VisionTransformer": _invert_vit_class_aware,
     "resnet12": _invert_resnet12,
     "resnet12woLSC": _invert_resnet12,
     "resnet12Bdc": _invert_resnet12bdc,

@@ -316,6 +316,130 @@ def test_e2e_dmatchingnet_trained_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_e2e_cpea_trained_parity(tmp_path):
+    """Trained CPEANet/class-aware-ViT: full pipeline — patch embed +
+    attention blocks → CPEA class-token-conditioned patch similarity → MLP
+    scoring — against the intact reference ``set_forward``
+    (cpea_net.py:140-221).  Square fixture grid (6×6 patches) keeps both
+    frameworks on the direct pos-embed path; the reference's bicubic
+    pos-embed interpolation for rectangular inputs
+    (vit_class_aware.py:295-317) is a geometry adapter outside this test.
+    The reference CPEALayer's hard-coded in_dim=384 / fc2-in=72² are
+    re-sized to the fixture's converted shapes."""
+    import jax
+
+    from audio_fewshot_tpu.utils.torch_convert import invert_backbone_params
+
+    bk_kwargs = {"patch_size": 4, "embed_dim": 64, "depth": 2,
+                 "num_heads": 4, "num_channels": 1}
+    trainer, config = _train_ours(
+        tmp_path, "CPEANet", "VisionTransformer", dict(bk_kwargs),
+        {"in_dim": 64},
+        spec_shape=(1, 24, 24),
+        epochs=1, train_episode=6, max_segments_per_clip=1,
+    )
+    variables = jax.device_get(trainer.variables)
+    setting = trainer.eval_setting
+    state = invert_backbone_params(variables, "VisionTransformer")
+    state.update(cfp.invert_cpea_head_params(variables))
+    model = cfp.build_reference_model(
+        "CPEANet", "VisionTransformer", dict(bk_kwargs), setting.way,
+        setting.shot, setting.query, state, cls_kwargs={"in_dim": 64},
+    )
+    from audio_fewshot_tpu.data import get_dataloader
+
+    loader = get_dataloader(
+        dict(config, device_data_bank=False), "test",
+        trainer.method.model_type, False, "audio",
+    )[0]
+    batches = [b for _, b in zip(range(6), loader.epoch(1))]
+    ours_logits, ours_accs = cfp.run_ours_eval(
+        trainer.method, variables, batches, setting
+    )
+    ref_logits, ref_accs = cfp.run_reference_eval_cpea(
+        model, batches, setting.way, setting.shot, setting.query
+    )
+    row = cfp.compare(ours_logits, ref_logits, ours_accs, ref_accs, "CPEANet")
+    assert row["rel_logit_diff"] <= 1e-3, row
+    assert row["acc_diff"] <= 0.5, row
+    assert row["segment_pred_agreement"] >= 0.99, row
+
+
+@pytest.mark.slow
+def test_e2e_metal_zero_knockout_parity(tmp_path):
+    """Trained MeTAL under the ZERO-KNOCKOUT protocol: our learned losses
+    are step-conditioned MLPs while the reference keeps per-step parameter
+    copies (documented delta, heads/metal.py) — so zero both sides' final
+    loss-net layers (the reference's LossAdapters are identity at their
+    zero-initialized multiplier/offset biases, metal.py:336-353), which
+    pins the inner objective to support CE alone and makes the SHARED
+    machinery — embedding, inner-loop head adaptation at lr, test_iter
+    steps, final query logits + softmax — exactly comparable
+    (metal.py:47-86, 131-191).  ViT backbone: deterministic and
+    mode-independent, so the reference's transductive .train() embeds
+    equal ours."""
+    import jax
+    import torch
+
+    from audio_fewshot_tpu.utils.torch_convert import invert_backbone_params
+
+    bk_kwargs = {"patch_size": 4, "embed_dim": 64, "depth": 2,
+                 "num_heads": 4, "num_channels": 1, "return_tokens": False}
+    inner_param = {"lr": 0.01, "train_iter": 2, "test_iter": 3}
+    trainer, config = _train_ours(
+        tmp_path, "MeTAL", "VisionTransformer", dict(bk_kwargs),
+        {"feat_dim": 64, "inner_param": inner_param},
+        spec_shape=(1, 24, 24),
+        epochs=1, train_episode=6, max_segments_per_clip=1,
+    )
+    variables = jax.device_get(trainer.variables)
+    # knockout: zero OUR loss-net output layers
+    for net in ("meta_loss", "meta_query_loss"):
+        fc2 = variables["params"][net]["fc2"]
+        variables["params"][net]["fc2"] = {
+            k: np.zeros_like(np.asarray(v)) for k, v in fc2.items()
+        }
+    setting = trainer.eval_setting
+    state = invert_backbone_params(variables, "VisionTransformer")
+    state.update(cfp.invert_maml_head_params(variables))
+    model = cfp.build_reference_model(
+        "MeTAL", "VisionTransformer", dict(bk_kwargs), setting.way,
+        setting.shot, setting.query, state,
+        cls_kwargs={"feat_dim": 64, "inner_param": inner_param},
+    )
+    # knockout: zero the reference loss nets' final layers (adapters stay
+    # identity at zero biases)
+    with torch.no_grad():
+        for net in (model.meta_loss, model.meta_query_loss):
+            for step_net in net.layer_dict.values():
+                step_net.linear2.weights.zero_()
+                step_net.linear2.bias.zero_()
+        for ad in (model.meta_loss_adapter, model.meta_query_loss_adapter):
+            for step_ad in ad.loss_adapter:
+                step_ad.multiplier_bias.zero_()
+                step_ad.offset_bias.zero_()
+
+    from audio_fewshot_tpu.data import get_dataloader
+
+    loader = get_dataloader(
+        dict(config, device_data_bank=False), "test",
+        trainer.method.model_type, False, "audio",
+    )[0]
+    batches = [b for _, b in zip(range(6), loader.epoch(1))]
+    ours_logits, ours_accs = cfp.run_ours_eval(
+        trainer.method, variables, batches, setting
+    )
+    ours_logits = [_softmax_np(l) for l in ours_logits]
+    ref_logits, ref_accs = cfp.run_reference_eval_inner_loop(
+        model, batches, setting.way, setting.shot, setting.query
+    )
+    row = cfp.compare(ours_logits, ref_logits, ours_accs, ref_accs, "MeTAL")
+    assert row["rel_logit_diff"] <= 2e-3, row
+    assert row["acc_diff"] <= 0.5, row
+    assert row["segment_pred_agreement"] >= 0.99, row
+
+
+@pytest.mark.slow
 def test_e2e_r2d2mcl_trained_parity(tmp_path):
     """Trained R2D2MCL/Conv64F: MCLMask Katz-centrality query pooling into
     the closed-form ridge (r2d2_mcl.py:143-173) with the three learned

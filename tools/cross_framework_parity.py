@@ -39,6 +39,25 @@ sys.path.insert(0, os.path.join(
 # -- reference-side harness ---------------------------------------------------
 
 
+def _stub_timm():
+    """vit_class_aware imports timm only for @register_model decorators;
+    the package is absent here — provide a no-op stub."""
+    import sys
+    import types
+
+    if "timm" in sys.modules:
+        return
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn=None, **kw: (fn if fn else (lambda f: f))
+    timm.models = models
+    models.registry = registry
+    sys.modules.update(
+        {"timm": timm, "timm.models": models, "timm.models.registry": registry}
+    )
+
+
 @contextlib.contextmanager
 def cuda_to_cpu():
     """The reference's eval paths hard-code ``.to('cuda')`` (e.g.
@@ -131,8 +150,36 @@ def build_reference_model(
     bk_mod = {
         "Conv64F": "libfewshot_core.model.backbone.conv_four",
         "resnet12Bdc": "libfewshot_core.model.backbone.resnet_bdc",
+        "VisionTransformer": "libfewshot_core.model.backbone.vit_class_aware",
     }[backbone]
-    emb = getattr(load_ref(bk_mod), backbone)(**backbone_kwargs)
+    if backbone == "VisionTransformer":
+        _stub_timm()
+        bkw = dict(backbone_kwargs)
+        patch = int(bkw.get("patch_size", 16))
+        # square fixture geometry from the converted pos_embed (the torch
+        # constructor sizes pos_embed from img_size; non-square inputs take
+        # the bicubic-interpolation branch, vit_class_aware.py:295-317 —
+        # covered as a documented geometry adapter, not here)
+        n_patches = int(np.asarray(
+            state_dict["emb_func.pos_embed"]).shape[1]) - 1
+        side = int(round(n_patches ** 0.5))
+        assert side * side == n_patches, (
+            "VisionTransformer reference build needs a square patch grid"
+        )
+        emb = getattr(load_ref(bk_mod), backbone)(
+            img_size=[side * patch],
+            patch_size=patch,
+            embed_dim=int(bkw.get("embed_dim", 192)),
+            depth=int(bkw.get("depth", 12)),
+            num_heads=int(bkw.get("num_heads", 3)),
+            mlp_ratio=float(bkw.get("mlp_ratio", 4.0)),
+            qkv_bias=True,
+            drop_path_rate=0.0,
+            num_channels=int(bkw.get("num_channels", 1)),
+            return_all_tokens=bool(bkw.get("return_tokens", True)),
+        )
+    else:
+        emb = getattr(load_ref(bk_mod), backbone)(**backbone_kwargs)
     cls_mod = {
         "ProtoNet": "libfewshot_core.model.metric.proto_net",
         "DeepBDC": "libfewshot_core.model.metric.deepbdc",
@@ -157,6 +204,8 @@ def build_reference_model(
         "BOIL": "libfewshot_core.model.meta.boil",
         "MTL": "libfewshot_core.model.meta.mtl",
         "DMatchingNet": "libfewshot_core.model.meta.matchingnet_ifsl",
+        "CPEANet": "libfewshot_core.model.metric.cpea_net",
+        "MeTAL": "libfewshot_core.model.meta.metal",
         "LEO": "libfewshot_core.model.meta.leo",
         "VERSA": "libfewshot_core.model.meta.versa",
         "MetabaselinePretrain":
@@ -253,6 +302,13 @@ def build_reference_model(
             # our kwarg is ``num_class`` (reference renet.py:347 takes
             # ``num_classes``)
             num_classes=ck.get("num_class", ck.get("num_classes", 64)),
+        )
+    if method == "MeTAL":
+        ck = dict(cls_kwargs or {})
+        kwargs.update(
+            inner_param=dict(ck.get("inner_param") or
+                             {"lr": 0.01, "train_iter": 2, "test_iter": 3}),
+            feat_dim=ck.get("feat_dim", 64),
         )
     if method in ("MAML", "ANIL", "BOIL"):
         ck = dict(cls_kwargs or {})
@@ -380,6 +436,7 @@ def build_reference_model(
             penalty_C=ck.get("penalty_C", 0.1),
             is_distill=False,
         )
+    cls_name = {"MeTAL": "METAL"}.get(method, method)
     if method == "DMatchingNet":
         # MatchingNetLayer/FCE constructors hard-code .cuda() on modules AND
         # on the FCE's c_0 tensor (matchingnet_ifsl.py:184-196, 232-240) —
@@ -388,11 +445,31 @@ def build_reference_model(
         torch.nn.Module.cuda = lambda self, *a, **k: self
         try:
             with cuda_to_cpu():
-                model = getattr(load_ref(cls_mod), method)(**kwargs)
+                model = getattr(load_ref(cls_mod), cls_name)(**kwargs)
         finally:
             torch.nn.Module.cuda = orig_mod_cuda
     else:
-        model = getattr(load_ref(cls_mod), method)(**kwargs)
+        model = getattr(load_ref(cls_mod), cls_name)(**kwargs)
+    if method == "CPEANet" and "CPEA.fc1.fc1.weight" in state_dict:
+        # CPEALayer hard-codes in_dim=384 and fc2's input to 72²
+        # (cpea_net.py:83-88, the reference's full-size audio grid 8×9) —
+        # re-size both MLPs and the LayerNorm to the converted fixture's
+        # dims so the state loads
+        import sys as _sys
+
+        mod = _sys.modules[type(model).__module__]
+        in_dim = int(np.asarray(state_dict["CPEA.fc1.fc1.weight"]).shape[1])
+        if model.CPEA.fc1.fc1.in_features != in_dim:
+            model.CPEA.fc1 = mod.Mlp(
+                in_features=in_dim, hidden_features=in_dim // 4,
+                out_features=in_dim,
+            )
+            model.CPEA.fc_norm1 = torch.nn.LayerNorm(in_dim)
+        ll = int(np.asarray(state_dict["CPEA.fc2.fc1.weight"]).shape[1])
+        if model.CPEA.fc2.fc1.in_features != ll:
+            model.CPEA.fc2 = mod.Mlp(
+                in_features=ll, hidden_features=256, out_features=1
+            )
     if method == "FRN_Pretrain" and "frn_layer.cat_mat" in state_dict:
         # FRNLayer hard-codes resolution=72 (frn_pretrain.py:28) — only
         # valid for the reference's own feature geometry; re-size the
@@ -428,6 +505,11 @@ def build_reference_model(
         # MTLPretrain's base_learner is reset_parameters()'d per episode
         # before any use (mtl_pretrain.py:89) — its stored values are dead
         and not (method == "MTLPretrain" and m.startswith("base_learner."))
+        # MeTAL's learned-loss nets use per-step parameter copies while ours
+        # use one step-conditioned net (documented delta, heads/metal.py);
+        # the zero-knockout e2e zeroes both sides' final layers instead
+        and not (method == "MeTAL" and (m.startswith("meta_loss")
+                                        or m.startswith("meta_query_loss")))
     ]
     if real_missing or unexpected:
         raise KeyError(
@@ -1547,6 +1629,72 @@ def run_reference_eval_mtl_pretrain(
             out = out.detach().cpu().numpy()
             logits_out.append(out)
             accs.append(_clip_vote_acc(np.argmax(out, -1), counts, way, query))
+    return logits_out, accs
+
+
+def invert_cpea_head_params(variables) -> Dict[str, np.ndarray]:
+    """flax CPEALayer (``head``: fc1_hidden/fc1_out/fc_norm1/fc2_hidden/
+    fc2_out, heads/cpea.py) → reference CPEA keys (cpea_net.py:81-92)."""
+    h = variables["params"]["head"]
+
+    def dense(tree, name):
+        return {
+            f"{name}.weight": np.ascontiguousarray(
+                np.asarray(tree["kernel"]).T
+            ),
+            f"{name}.bias": np.asarray(tree["bias"]),
+        }
+
+    out: Dict[str, np.ndarray] = {}
+    out.update(dense(h["fc1_hidden"], "CPEA.fc1.fc1"))
+    out.update(dense(h["fc1_out"], "CPEA.fc1.fc2"))
+    out["CPEA.fc_norm1.weight"] = np.asarray(h["fc_norm1"]["scale"])
+    out["CPEA.fc_norm1.bias"] = np.asarray(h["fc_norm1"]["bias"])
+    out.update(dense(h["fc2_hidden"], "CPEA.fc2.fc1"))
+    out.update(dense(h["fc2_out"], "CPEA.fc2.fc2"))
+    return out
+
+
+def run_reference_eval_cpea(
+    model, batches, way: int, shot: int, query: int
+) -> Tuple[List[np.ndarray], List[float]]:
+    """CPEANet ``set_forward`` (intact; cpea_net.py:140-221) per episode:
+    its ``rearrange_data`` expects ONE episode's class-major
+    [way, shot|query] flat layout and emits slot-major interleaved query
+    logits — rows are re-ordered back to our clip-major order."""
+    import torch
+
+    model.eval()
+    logits_out: List[np.ndarray] = []
+    accs: List[float] = []
+    # ref row (slot q, class c) = q*way + c → ours row c*query + q
+    perm = np.asarray(
+        [q * way + c for c in range(way) for q in range(query)]
+    )
+    with cuda_to_cpu(), torch.no_grad():
+        for b in batches:
+            images, target, repeats, support_size = episode_batch_to_reference(
+                b, way, shot, query
+            )
+            assert int(repeats.sum()) == len(repeats), (
+                "CPEANet fixture episodes must be dense"
+            )
+            per_ep = way * (shot + query)
+            e = images.shape[0] // per_ep
+            for i in range(e):
+                img_i = torch.from_numpy(np.ascontiguousarray(
+                    images[i * per_ep:(i + 1) * per_ep]
+                ))
+                rep_i = torch.ones(way * query, dtype=torch.long)
+                out, acc = model.set_forward(
+                    (img_i, torch.zeros(per_ep, dtype=torch.long), rep_i,
+                     way * shot)
+                )
+                out = out.detach().cpu().numpy()[perm]
+                logits_out.append(out)
+                accs.append(
+                    float(acc) if np.ndim(acc) == 0 else float(acc.item())
+                )
     return logits_out, accs
 
 
