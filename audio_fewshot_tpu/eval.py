@@ -312,6 +312,29 @@ class Test:
         all_accs: List[float] = []
         from .parallel.mesh import transfer_ahead
 
+        if cfg.get("dump_features", False):
+            # reference visualize_features featdata dump + intended t-SNE
+            # projection (see utils/features.py) on the first test batch
+            if not self.result_path:
+                self.logger.warning("dump_features set but no result dir — skipped")
+            else:
+                from .episode import materialize_episode_batch
+                from .parallel.mesh import upcast_floats
+                from .utils.features import dump_episode_features
+
+                wb = next(iter(transfer_ahead(
+                    self.test_loader[0].epoch(0), self.mesh, self.transfer_dtype
+                )))
+                if self.test_bank is not None:
+                    wb = materialize_episode_batch(wb, self.test_bank)
+                dump_episode_features(
+                    self.method, self.variables, upcast_floats(wb),
+                    self.result_path,
+                    normalize=bool(cfg.get("dump_features_normalize", True)),
+                    proj_method=str(cfg.get("dump_features_method", "tsne")),
+                    logger=self.logger,
+                )
+
         # deep pipelining is safe when in-flight step inputs are int32 bank
         # indices; on the bank-less path every pending step keeps its FULL
         # spectrogram payload live in HBM until execution retires, so cap
