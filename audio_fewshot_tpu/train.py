@@ -504,9 +504,18 @@ class Trainer:
         flat = jax.tree_util.tree_flatten_with_path(self.variables["params"])[0]
         for path, leaf in flat:
             parts = [getattr(k, "key", str(k)) for k in path]
-            if any("bn" in str(p).lower() for p in parts):
+            # the reference filters torch names containing "bn"; flax default
+            # module names spell it out ("BatchNorm_0"), so match both
+            if any(
+                "bn" in (s := str(p).lower()) or "batchnorm" in s for p in parts
+            ):
                 continue
-            self.writer.add_histogram("/".join(str(p) for p in parts), jax.device_get(leaf))
+            # float32 cast: torch's histogram binning rejects ml_dtypes
+            # bfloat16 arrays (param_dtype bf16 runs)
+            self.writer.add_histogram(
+                "/".join(str(p) for p in parts),
+                np.asarray(jax.device_get(leaf), np.float32),
+            )
 
     def _validate(self, epoch: int, loader, mode: str, bank=None) -> Tuple[float, float]:
         self.writer.set_step(epoch)
