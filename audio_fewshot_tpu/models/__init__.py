@@ -26,18 +26,37 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
     # backbone/utils/maml_module.py:84-108).  Force it here so shipped
     # configs don't have to remember the knob.
     cls_factory = CLASSIFIERS.get(config["classifier"]["name"])
+    injected = set()
     if getattr(cls_factory, "requires_batch_stat_bn", False):
+        if "use_running_statistics" not in bk_kwargs:
+            injected.add("use_running_statistics")
         bk_kwargs.setdefault("use_running_statistics", False)
     # finer-grained backbone knobs a method's reference semantics demand
     # (e.g. DMatchingNet's maml conversion covers only BatchNorm2d, leaving
     # the Conv64F logits BN1d in standard running-stat mode)
     for k, v in (getattr(cls_factory, "backbone_kwarg_defaults", None) or {}).items():
+        if k not in bk_kwargs:
+            injected.add(k)
         bk_kwargs.setdefault(k, v)
     if precision == "fp32":
         import jax.numpy as jnp
 
         bk_kwargs.setdefault("dtype", jnp.float32)
-    emb_func = BACKBONES.build(backbone["name"], **bk_kwargs)
+    # a head's injected backbone knob only applies where the backbone has
+    # it (logits_bn_running_statistics exists only on Conv64F's logits
+    # head); user-provided kwargs still raise like the reference does
+    while True:
+        try:
+            emb_func = BACKBONES.build(backbone["name"], **bk_kwargs)
+            break
+        except TypeError as err:
+            dropped = [
+                k for k in injected if k in bk_kwargs and f"'{k}'" in str(err)
+            ]
+            if not dropped:
+                raise
+            for k in dropped:
+                bk_kwargs.pop(k)
 
     cls_kwargs = dict(config["classifier"].get("kwargs") or {})
     cls_kwargs["emb_func"] = emb_func
