@@ -319,12 +319,15 @@ class Test:
                 self.logger.warning("dump_features set but no result dir — skipped")
             else:
                 from .episode import materialize_episode_batch
-                from .parallel.mesh import upcast_floats
+                from .parallel.mesh import shard_batch, upcast_floats
                 from .utils.features import dump_episode_features
 
-                wb = next(iter(transfer_ahead(
-                    self.test_loader[0].epoch(0), self.mesh, self.transfer_dtype
-                )))
+                # single-batch transfer (transfer_ahead would eagerly ship
+                # a second, discarded batch through the tunnel)
+                wb = shard_batch(
+                    next(iter(self.test_loader[0].epoch(0))),
+                    self.mesh, self.transfer_dtype,
+                )
                 if self.test_bank is not None:
                     wb = materialize_episode_batch(wb, self.test_bank)
                 dump_episode_features(

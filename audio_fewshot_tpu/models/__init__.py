@@ -16,7 +16,18 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
     # CLAPBackbone when the flag is set); keep an explicitly CLAP-named
     # backbone as-is so its kwargs (checkpoint_path) survive
     if config.get("is_clap") and not str(backbone.get("name", "")).startswith("CLAP"):
-        backbone = {"name": "CLAPBackbone", "kwargs": backbone.get("kwargs")}
+        # the reference drops the configured backbone's kwargs with it;
+        # keep only the CLAP opt-in keys so `is_clap: true` on a shipped
+        # Conv64F/resnet config doesn't forward e.g. is_flatten into the
+        # encoder
+        clap_keys = {"checkpoint_path", "allow_random_init", "enable_fusion"}
+        backbone = {
+            "name": "CLAPBackbone",
+            "kwargs": {
+                k: v for k, v in (backbone.get("kwargs") or {}).items()
+                if k in clap_keys
+            },
+        }
     backbone_extra = {"num_channels": 1 if config.get("modality") == "audio" else 3}
     bk_kwargs = dict(backbone.get("kwargs") or {})
     bk_kwargs.update({k: v for k, v in backbone_extra.items() if k not in bk_kwargs})

@@ -231,11 +231,17 @@ class DMatchingNet(MethodBase):
         preprocessed x splits.  x [n, D] → ([n_splits, n, split_dim],
         [n_splits, n, d_dim])."""
         params = variables["params"]
-        pd = jax.nn.softmax(
-            self.modules["pretrain_cls"].apply(
-                {"params": params["pretrain_cls"]}, x
-            ),
-            axis=-1,
+        # calc_pd runs under torch.no_grad() in the reference
+        # (matchingnet_ifsl.py:126-129): the pretrained classifier is a
+        # frozen feature-er — no gradient flows into it or back through
+        # pd/ed into the backbone
+        pd = jax.lax.stop_gradient(
+            jax.nn.softmax(
+                self.modules["pretrain_cls"].apply(
+                    {"params": params["pretrain_cls"]}, x
+                ),
+                axis=-1,
+            )
         )
         if self.d_feature == "pd":
             x_d = jnp.broadcast_to(
@@ -336,10 +342,20 @@ class DMatchingNet(MethodBase):
             rng = jax.random.PRNGKey(0)
 
         def episode_fn(sup_x, qry_x, qry_mask, ep_rng):
-            sup_f, _ = self._embed_split(variables, sup_x, train, ep_rng)
-            qry_f, upd = self._embed_split(
+            sup_f, upd_s = self._embed_split(variables, sup_x, train, ep_rng)
+            qry_f, upd_q = self._embed_split(
                 variables, qry_x, train, ep_rng, sample_mask=qry_mask > 0
             )
+            # the reference's train-mode BN1d updates its running stats on
+            # BOTH embed calls (IFSLUtils.fusing embeds support and query
+            # separately) — average the two one-step EMAs rather than
+            # dropping the support one
+            if upd_s and upd_q:
+                upd = jax.tree_util.tree_map(
+                    lambda a, b: (a + b) / 2, upd_s, upd_q
+                )
+            else:
+                upd = upd_s or upd_q
             lp = self._episode_logprobs(
                 variables, sup_f, qry_f, setting.way, setting.shot
             )

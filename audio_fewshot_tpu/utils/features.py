@@ -50,11 +50,17 @@ def _first_segment_rows(
     return rows
 
 
-def _project_2d(feat: np.ndarray, normalize: bool, logger=None) -> Optional[np.ndarray]:
+def _project_2d(
+    feat: np.ndarray, normalize: bool, method: str, logger=None
+):
     """The reference's intended (commented-out) projection pipeline:
-    L2 normalize -> PCA(min(50, D)) -> t-SNE(2, random_state=0, init='pca').
-    Perplexity is clamped below n_samples (sklearn hard requirement the
-    reference's default-args version would crash on for tiny episodes)."""
+    L2 normalize -> PCA(min(50, D)) -> UMAP(2) when ``method == 'umap'``
+    and umap is importable, else t-SNE(2, random_state=0, init='pca') —
+    the reference falls back to t-SNE for any other method string or a
+    missing umap (deepbdc.py:151-157).  Perplexity is clamped below
+    n_samples (sklearn hard requirement the reference's default-args
+    version would crash on for tiny episodes).  Returns
+    ``(coords | None, projection_used)``."""
     try:
         from sklearn.decomposition import PCA
         from sklearn.manifold import TSNE
@@ -62,14 +68,26 @@ def _project_2d(feat: np.ndarray, normalize: bool, logger=None) -> Optional[np.n
     except ImportError:  # mirror the reference's soft-fail (deepbdc.py:92-95)
         if logger is not None:
             logger.warning("sklearn unavailable — featdata saved without features_2d")
-        return None
+        return None, "none"
     n, d = feat.shape
     proc = sk_normalize(feat, norm="l2") if normalize else feat
     n_comp = min(50, d, n)
     proc = PCA(n_components=n_comp, random_state=0).fit_transform(proc)
+    if method == "umap":
+        try:
+            import umap  # absent here; present = honor the knob
+
+            reducer = umap.UMAP(n_components=2, random_state=0)
+            return reducer.fit_transform(proc).astype(np.float32), "umap"
+        except ImportError:
+            if logger is not None:
+                logger.warning(
+                    "dump_features_method=umap but umap is unavailable — "
+                    "falling back to t-SNE (reference HAVE_UMAP fallback)"
+                )
     perplexity = min(30.0, max(2.0, (n - 1) / 3.0))
     tsne = TSNE(n_components=2, random_state=0, init="pca", perplexity=perplexity)
-    return tsne.fit_transform(proc).astype(np.float32)
+    return tsne.fit_transform(proc).astype(np.float32), "tsne"
 
 
 def dump_episode_features(
@@ -115,17 +133,21 @@ def dump_episode_features(
         assert feat.shape[0] == way * (shot + query), (
             feat.shape, way, shot, query,
         )
-        feat_2d = _project_2d(feat, normalize, logger)
+        feat_2d, used = _project_2d(feat, normalize, proj_method, logger)
         fname = os.path.join(plots, f"featdata_{timestamp}_{ep:03d}.npz")
         payload = dict(
             raw_features=feat,
             shot=shot, way=way, query=query,
             timestamp=timestamp,
             normalize=normalize,
+            # the reference stores the REQUESTED method with the raw dump
+            # (deepbdc.py:130-137); projection_used says what features_2d
+            # actually is (umap falls back to t-SNE when unavailable)
             method=proj_method,
         )
         if feat_2d is not None:
             payload["features_2d"] = feat_2d
+            payload["projection_used"] = used
         np.savez(fname, **payload)
         paths.append(fname)
     if logger is not None:

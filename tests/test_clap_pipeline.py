@@ -210,3 +210,24 @@ def test_clap_backbone_factory_guard():
         BACKBONES.build("CLAPBackbone")
     enc = BACKBONES.build("CLAPBackbone", allow_random_init=True)
     assert isinstance(enc, CLAPAudioEncoder)
+
+
+def test_is_clap_substitution_drops_foreign_backbone_kwargs():
+    """`is_clap: true` on a shipped CNN config replaces the backbone the
+    way the reference does (trainer.py:437-441 ignores the configured
+    backbone entirely): the CNN's kwargs must not reach the CLAP encoder;
+    only the CLAP opt-in keys survive the substitution."""
+    from audio_fewshot_tpu.models import build_method
+
+    cfg = {
+        "is_clap": True,
+        "way_num": 3, "shot_num": 1, "query_num": 2,
+        "backbone": {"name": "Conv64F", "kwargs": {
+            "is_flatten": True, "last_pool": True, "maxpool_last2": True,
+            "allow_random_init": True,  # CLAP opt-in rides along
+        }},
+        "classifier": {"name": "ProtoNet", "kwargs": None},
+        "modality": "audio", "precision": "fp32",
+    }
+    method = build_method(cfg)  # would TypeError on forwarded is_flatten
+    assert isinstance(method.emb_func, CLAPAudioEncoder)
