@@ -113,6 +113,34 @@ def test_ragged_dump_takes_first_valid_segment(tmp_path):
             np.testing.assert_allclose(row, qry_f[first], rtol=1e-6)
 
 
+def test_finetuning_method_dump(tmp_path):
+    """The dump surface is method-agnostic (the reference pasted the same
+    code into two heads; ours works for every family): FINETUNING methods
+    embed episodic test batches the same way."""
+    config = {
+        "backbone": {
+            "name": "Conv64F",
+            "kwargs": {
+                "is_flatten": False, "last_pool": False,
+                "maxpool_last2": False, "num_channels": 1,
+            },
+        },
+        "classifier": {"name": "Baseline", "kwargs": {
+            "feat_dim": 64 * 32 * 24, "num_class": 8}},
+        "modality": "audio",
+        "precision": "fp32",
+    }
+    method = build_method(config)
+    batch = _dense_batch(e=1)
+    variables = method.init_variables(jax.random.PRNGKey(0), batch, SETTING)
+    paths = dump_episode_features(method, variables, batch, str(tmp_path))
+    assert len(paths) == 1
+    feat = np.load(paths[0])["raw_features"]
+    way, shot, query = SETTING.way, SETTING.shot, SETTING.query
+    assert feat.shape[0] == way * (shot + query)
+    assert np.isfinite(feat).all()
+
+
 def test_cli_knob_writes_plots_dir(tmp_path):
     """dump_features through the Test harness itself (eval.py wiring)."""
     from audio_fewshot_tpu.eval import Test
