@@ -10,18 +10,13 @@ each test notes which.
 import numpy as np
 import pytest
 
-from test_cross_framework import _cross_check, _train_ours, cfp
+from test_cross_framework import _cross_check, _softmax_np, _train_ours, cfp
 
 BK_MAPS = {"is_flatten": False, "last_pool": False, "maxpool_last2": False,
            "num_channels": 1}
 BK_FLAT = {"is_flatten": True, "last_pool": True, "maxpool_last2": False,
            "num_channels": 1}
 FEAT_DIM = 1600
-
-
-def _softmax_np(x):
-    e = np.exp(x - x.max(axis=-1, keepdims=True))
-    return e / e.sum(axis=-1, keepdims=True)
 
 
 INNER_PARAM = {
@@ -80,8 +75,18 @@ def _matched_finetune_check(tmp_path, name, cls_kwargs, n_batches=4,
     )
     row = cfp.compare(ours_logits, ref_logits, ours_accs, ref_accs, name)
     assert row["rel_logit_diff"] <= atol, row
-    assert row["acc_diff"] <= 0.5, row
-    assert row["segment_pred_agreement"] >= 0.99, row
+    # the measurement quantum on this fixture (72 segments) is coarser than
+    # a flat 0.5-pt / 0.99-agreement bound (one flip = 1.39 pts, 0.986
+    # agreement), so bound flips by their top-2 margins instead: with the
+    # logit drift ≤ atol, only a near-tie (margin ≤ 2·atol) can
+    # legitimately argmax differently across frameworks
+    if row["n_flips"] == 0:
+        assert row["segment_pred_agreement"] == 1.0, row
+        assert row["acc_diff"] <= 0.5, row
+    else:
+        assert row["disagree_margin"] <= 2 * atol, row
+        assert row["segment_pred_agreement"] >= 0.97, row
+        assert row["acc_diff"] <= 2.0, row
     return row
 
 

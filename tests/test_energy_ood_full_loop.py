@@ -44,17 +44,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NUM_AUG = 3
 
 
-def _load_ref_test_module():
+def _load_ref_test_module(monkeypatch):
     """Import libfewshot_core.test behind stubs for the snapshot-missing
-    data package (its module body needs only the names)."""
+    data package (its module body needs only the names).  The stubs are
+    monkeypatch-scoped so later tests importing libfewshot_core.data fail
+    loudly instead of silently binding these dummies."""
     if "libfewshot_core.data" not in sys.modules:
         d = types.ModuleType("libfewshot_core.data")
         d.get_dataloader = None
         c = types.ModuleType("libfewshot_core.data.collates")
         c.get_mean_std = lambda *a, **k: (0.0, 1.0)
         d.collates = c
-        sys.modules["libfewshot_core.data"] = d
-        sys.modules["libfewshot_core.data.collates"] = c
+        monkeypatch.setitem(sys.modules, "libfewshot_core.data", d)
+        monkeypatch.setitem(sys.modules, "libfewshot_core.data.collates", c)
     return load_ref("libfewshot_core.test")
 
 
@@ -127,7 +129,10 @@ def test_full_loop_energy_ood_parity(tmp_path, monkeypatch):
         model.get_uncertainty_threshold(policy="mean")
     th_ref = float(model.uncertain_global_threshold)
     assert th_ours is not None
-    assert abs(th_ours - th_ref) <= 1e-4 * max(1.0, abs(th_ref)), (
+    # tolerance matches the accepted per-clip uncertainty drift below
+    # (rel 1e-3, the DeepBDC fp32 logit bound) — the threshold is a
+    # quantile of those same uncertainties, so it can't be tighter
+    assert abs(th_ours - th_ref) <= 1e-3 * max(1.0, abs(th_ref)), (
         th_ours, th_ref,
     )
 
