@@ -137,7 +137,7 @@ def test_full_loop_energy_ood_parity(tmp_path, monkeypatch):
     )
 
     # ---- flag + TTA re-vote -------------------------------------------------
-    ref_test = _load_ref_test_module()
+    ref_test = _load_ref_test_module(monkeypatch)
     mean, std = [
         float(v) for v in np.load(
             os.path.join(REPO, "Auxiliary", "Clean_Mean_Std.npy")
