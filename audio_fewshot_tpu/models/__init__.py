@@ -55,7 +55,37 @@ def build_method(config: Dict[str, Any]) -> MethodBase:
         bk_kwargs.setdefault("dtype", jnp.float32)
     # a head's injected backbone knob only applies where the backbone has
     # it (logits_bn_running_statistics exists only on Conv64F's logits
-    # head); user-provided kwargs still raise like the reference does
+    # head): decide applicability from the factory's signature up front —
+    # parsing TypeError text would mis-drop knobs when a constructor-time
+    # error merely mentions the name.  User-provided kwargs still raise
+    # like the reference does.
+    if injected:
+        import dataclasses
+        import inspect
+
+        bk_factory = BACKBONES.get(backbone["name"])
+        accepted = None  # None = unknown / accepts anything
+        if dataclasses.is_dataclass(bk_factory):
+            # flax nn.Module: the dataclass fields ARE the kwargs (the
+            # generated __init__ wrapper's signature is just *args/**kwargs)
+            accepted = {f.name for f in dataclasses.fields(bk_factory)}
+        else:
+            try:
+                params = inspect.signature(bk_factory).parameters
+            except (TypeError, ValueError):  # C-level / exotic factory
+                params = None
+            if params is not None and not any(
+                p.kind is p.VAR_KEYWORD for p in params.values()
+            ):
+                accepted = set(params)
+        if accepted is not None:
+            for k in list(injected):
+                if k in bk_kwargs and k not in accepted:
+                    bk_kwargs.pop(k)
+    # fallback for opaque ``**kwargs`` wrapper factories (resnet12 etc.
+    # forward to an inner module, so neither signature nor dataclass fields
+    # are visible): retry dropping only INJECTED knobs the TypeError names.
+    # User-provided kwargs still raise like the reference does.
     while True:
         try:
             emb_func = BACKBONES.build(backbone["name"], **bk_kwargs)

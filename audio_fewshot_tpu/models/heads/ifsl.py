@@ -10,9 +10,10 @@ scores = relu-cosine query×support ×temp, fused with the d-branch scores
 (``logit_fusion``), counterfactual branch subtracted (:258-300); attention
 softmax over support → class mass → log-probs, averaged over splits.
 
-The pretrained linear head (reference loads ``cls_path``) initializes
-randomly here and can be loaded through the standard ``pretrain_path``
-part-checkpoint flow.
+The pretrained linear head loads from ``ifsl_param.cls_path`` (a
+``save_part`` msgpack of IfslPretrain's ``classifier``, mirroring the
+reference's torch-state-dict load at matchingnet_ifsl.py:19-20); absent the
+knob it initializes randomly.
 """
 
 from __future__ import annotations
@@ -131,6 +132,10 @@ class DMatchingNet(MethodBase):
         self.normalize_d = bool(p.get("normalize_d", False))
         self.normalize_ed = bool(p.get("normalize_ed", False))
         self.feature_path = p.get("feature_path")
+        # pretrained interventional classifier (IFSLUtils loads cls_path
+        # into self.linear, matchingnet_ifsl.py:19-20) — here a save_part
+        # msgpack of IfslPretrain's classifier (classifier_best.pth)
+        self.cls_path = p.get("cls_path")
         for m in (self.preprocess_before_split, self.preprocess_after_split):
             if m not in ("none", "l2n", "cl2n"):
                 # "dl2n" indexes the batch-expanded center by SPLIT index
@@ -165,6 +170,15 @@ class DMatchingNet(MethodBase):
         self.features = jnp.asarray(feats_np)
         self.mean_features = self.features.mean(axis=0)
         sub = self.modules["pretrain_cls"].init(rngs["params"], feats[:1])
+        if self.cls_path:
+            # part files store the sub-tree under the SOURCE part name
+            # ("classifier", checkpoint.save_model:70-76); retarget it to
+            # this head's "pretrain_cls" slot
+            from ...utils.checkpoint import load_variables
+
+            tmpl = {"params": {"classifier": sub["params"]}}
+            loaded = load_variables(self.cls_path, tmpl)
+            sub = {"params": loaded["params"]["classifier"]}
         self._merge_init(variables, "pretrain_cls", sub)
 
         if self.single:
@@ -343,19 +357,16 @@ class DMatchingNet(MethodBase):
 
         def episode_fn(sup_x, qry_x, qry_mask, ep_rng):
             sup_f, upd_s = self._embed_split(variables, sup_x, train, ep_rng)
-            qry_f, upd_q = self._embed_split(
-                variables, qry_x, train, ep_rng, sample_mask=qry_mask > 0
-            )
             # the reference's train-mode BN1d updates its running stats on
-            # BOTH embed calls (IFSLUtils.fusing embeds support and query
-            # separately) — average the two one-step EMAs rather than
-            # dropping the support one
-            if upd_s and upd_q:
-                upd = jax.tree_util.tree_map(
-                    lambda a, b: (a + b) / 2, upd_s, upd_q
-                )
-            else:
-                upd = upd_s or upd_q
+            # BOTH embed calls, SEQUENTIALLY (IFSLUtils.fusing embeds
+            # support then query): fold the support-step EMA in before the
+            # query embed so the query step compounds on it —
+            # (1−m)²s0 + m(1−m)b_sup + m·b_qry, exactly torch's trajectory
+            vars_q = self.merge_updates(variables, upd_s) if upd_s else variables
+            qry_f, upd_q = self._embed_split(
+                vars_q, qry_x, train, ep_rng, sample_mask=qry_mask > 0
+            )
+            upd = upd_q or upd_s
             lp = self._episode_logprobs(
                 variables, sup_f, qry_f, setting.way, setting.shot
             )
@@ -401,7 +412,36 @@ class IfslPretrain(FinetuningBase):
     matchingnetifsl_pretrain.py): plain global CE + euclid-proto meta-val.
     The reference's own ``set_forward`` is a stub (returns ``(0, 0)``,
     :32-38) — its live surface is the training path plus the 'featuring'
-    class-mean dump below."""
+    class-mean dump below (``ifsl_pretrain_param.featuring: true`` →
+    ``Trainer.run_featuring``)."""
+
+    def __init__(self, emb_func, ifsl_pretrain_param=None,
+                 emb_func_path=None, emd_func_path=None,
+                 cls_classifier_path=None, **kwargs):
+        super().__init__(emb_func, **kwargs)
+        p = dict(ifsl_pretrain_param or {})
+        # reference setattr-loop (matchingnetifsl_pretrain.py:15-16)
+        self.norm = bool(p.get("norm", False))
+        self.featuring = bool(p.get("featuring", False))
+        self.feature_path = p.get("feature_path")
+        # the reference loads torch state dicts at construction
+        # (matchingnetifsl_pretrain.py:17-19; the shipped YAML spells the
+        # backbone knob 'emd_func_path').  Here the emb_func side goes
+        # through the standard ``pretrain_path`` part flow; the classifier
+        # side loads a save_part msgpack (classifiers_best.pth) via this
+        # knob (use tools/convert_torch_checkpoint.py for torch files).
+        del emb_func_path, emd_func_path
+        self.cls_classifier_path = cls_classifier_path
+
+    def _init_head(self, variables, rngs, feats, example_batch, setting):
+        super()._init_head(variables, rngs, feats, example_batch, setting)
+        if self.cls_classifier_path:
+            from ...utils.checkpoint import load_part
+
+            loaded = load_part(
+                self.cls_classifier_path, variables, part="classifier"
+            )
+            variables.update(loaded)
 
     def forward(self, variables, batch, setting):
         sup, qry, _ = self.embed(variables, batch, train=False)

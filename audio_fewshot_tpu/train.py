@@ -48,6 +48,11 @@ def enable_compilation_cache(config: Dict[str, Any]) -> None:
     cache = config.get("compilation_cache", ".jax_cache")
     if not cache:
         return
+    # anchor the default at the repo root: tests/tools chdir freely, and a
+    # cwd-relative dir silently fails cache writes from other directories
+    if cache == ".jax_cache":
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -360,10 +365,89 @@ class Trainer:
         seg_logits = self.method.forward(variables, batch, setting)
         return self.method.eval_episode_accuracy(seg_logits, batch)
 
+    def _featuring_step(self, variables, batch, bank, sums, counts):
+        """One accumulation step of the IFSL 'featuring' pass: per-class
+        embedding sums + counts (reference matchingnetifsl_pretrain.py:56-67,
+        incl. the ``norm`` pre-normalization at :40-43,56-57)."""
+        from .episode import materialize_flat_batch
+        from .parallel.mesh import upcast_floats
+
+        if bank is not None:
+            batch = materialize_flat_batch(batch, bank)
+        batch = upcast_floats(batch)
+        feats, _ = self.method.apply_module(
+            variables, "emb_func", batch.data, train=False
+        )
+        if feats.ndim > 2:
+            feats = feats.reshape(feats.shape[0], -1)
+        if getattr(self.method, "norm", False):
+            feats = feats / (
+                jnp.linalg.norm(feats, axis=1, keepdims=True) + 1e-5
+            )
+        onehot = jax.nn.one_hot(
+            batch.target, self.method.num_class, dtype=feats.dtype
+        )
+        return sums + onehot.T @ feats, counts + jnp.sum(onehot, axis=0)
+
+    def run_featuring(self):
+        """IFSL 'featuring' mode (``ifsl_pretrain_param.featuring: true``):
+        the reference zeroes the loss and np.saves running per-class mean
+        embeddings to ``feature_path`` every step of every epoch
+        (matchingnetifsl_pretrain.py:58-68) — parameters never move, so the
+        epochs collapse to ONE accumulation pass here (eval-mode BN; the
+        reference's train-mode running-stat drift under a zero-loss loop is
+        an artifact, not signal).  Leaves a normal result dir: the npy
+        artifact plus last/part checkpoints of the (unchanged) weights."""
+        cfg = self.config
+        feature_path = getattr(self.method, "feature_path", None)
+        assert feature_path, (
+            "featuring: true requires ifsl_pretrain_param.feature_path"
+        )
+        from .parallel.mesh import transfer_ahead
+
+        d = self.variables["params"]["classifier"]["kernel"].shape[0]
+        num_class = self.method.num_class
+        sums = jnp.zeros((num_class, d), jnp.float32)
+        counts = jnp.zeros((num_class,), jnp.float32)
+        step_fn = jax.jit(self._featuring_step, donate_argnums=(3, 4))
+        t0, steps = time.time(), 0
+        for dev_batch in transfer_ahead(
+            self.train_loader[0].epoch(0), self.mesh, self.transfer_dtype
+        ):
+            sums, counts = step_fn(
+                self.variables, dev_batch, self.train_bank, sums, counts
+            )
+            steps += 1
+        means = sums / jnp.maximum(counts, 1.0)[:, None]
+        os.makedirs(os.path.dirname(os.path.abspath(feature_path)), exist_ok=True)
+        np.save(feature_path, np.asarray(jax.device_get(means), np.float32))
+        covered = int(jax.device_get(jnp.sum(counts > 0)))
+        self.logger.info(
+            "featuring: %d steps, %d/%d classes covered -> %s (%.1f s)",
+            steps, covered, num_class, feature_path, time.time() - t0,
+        )
+        if covered < num_class:
+            # unseen classes keep zero rows, as the reference's
+            # zero-initialized accumulator does
+            self.logger.warning(
+                "featuring: %d classes unseen in the train split keep "
+                "all-zero feature rows", num_class - covered,
+            )
+        host_vars = jax.device_get(self.variables)
+        save_model(
+            self.ckpt_dir, host_vars, 0, SaveType.LAST,
+            train_state={"best_val_acc": -1.0, "best_test_acc": -1.0},
+            save_part=cfg.get("save_part") or [],
+        )
+        self.writer.close()
+        return self.best_val_acc, self.best_test_acc
+
     # -- loops --------------------------------------------------------------
 
     def train_loop(self, rank: int = 0):
         cfg = self.config
+        if getattr(self.method, "featuring", False):
+            return self.run_featuring()
         epochs = int(cfg.get("epoch", 1))
         t_start = time.time()
         for epoch in range(self.start_epoch, epochs):

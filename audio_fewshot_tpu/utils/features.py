@@ -38,15 +38,25 @@ import numpy as np
 
 
 def _first_segment_rows(
-    qry: np.ndarray, clip_ids: np.ndarray, mask: np.ndarray, num_clips: int
+    qry: np.ndarray, clip_ids: np.ndarray, mask: np.ndarray, num_clips: int,
+    logger=None,
 ) -> np.ndarray:
     """[G, D] padded segment features -> [num_clips, D], first valid
     segment of each clip (reference rows are one-per-clip)."""
     rows = np.zeros((num_clips, qry.shape[-1]), dtype=qry.dtype)
+    empty = []
     for clip in range(num_clips):
         idx = np.nonzero((clip_ids == clip) & (mask > 0))[0]
         if idx.size:
             rows[clip] = qry[idx[0]]
+        else:
+            empty.append(clip)
+    if empty and logger is not None:
+        # an all-zero row would silently corrupt the dumped raw_features
+        logger.warning(
+            "featdata: query clips %s have no valid segment — their "
+            "feature rows are zero-filled", empty,
+        )
     return rows
 
 
@@ -103,7 +113,12 @@ def dump_episode_features(
     """Embed one (materialized, upcast) EpisodeBatch and write a
     reference-contract ``featdata_*.npz`` per episode under
     ``out_dir/plots/``.  Returns the written paths."""
-    sup_f, qry_f, _ = method.embed(variables, batch, train=False)
+    # jitted: an eager embed through the TPU tunnel is round-trip-latency
+    # bound (one dispatch per op); one compile is cheaper even for a
+    # one-shot debug dump
+    sup_f, qry_f, _ = jax.jit(
+        lambda v, b: method.embed(v, b, train=False)
+    )(variables, batch)
     sup = np.asarray(jax.device_get(sup_f), np.float32)
     qry = np.asarray(jax.device_get(qry_f), np.float32)
     e = sup.shape[0]
@@ -124,7 +139,9 @@ def dump_episode_features(
     timestamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     paths: List[str] = []
     for ep in range(e):
-        clip_rows = _first_segment_rows(qry[ep], clip_ids[ep], mask[ep], num_clips)
+        clip_rows = _first_segment_rows(
+            qry[ep], clip_ids[ep], mask[ep], num_clips, logger=logger
+        )
         blocks = []
         for c in range(way):
             blocks.append(sup[ep][sup_t[ep] == c])          # shot supports

@@ -38,6 +38,10 @@ def main() -> None:
         "test_shot": 5,
         "test_query": 10,
     }
+    from audio_fewshot_tpu.train import enable_compilation_cache
+
+    enable_compilation_cache({})  # persistent cache — repeat runs skip compiles
+
     method = build_method(config)
     setting = eval_setting(config)
     mesh = get_mesh()
@@ -151,6 +155,23 @@ def main() -> None:
     # -- flagship DeepBDC/resnet12Bdc eval (the entry() config) -------------
     flag_per_chip, flag_mfu = _flagship_metrics(n_chips, mesh)
 
+    # -- TRAIN-step throughput (fwd+bwd+opt; VERDICT r4 next-round #7) ------
+    train_proto = _train_throughput(
+        n_chips, mesh,
+        {"backbone": {"name": "Conv64F",
+                      "kwargs": {"is_flatten": False, "last_pool": True,
+                                 "num_channels": 1}},
+         "classifier": {"name": "ProtoNet", "kwargs": None}},
+        e_per_chip=16, n_iters=10,
+    )
+    train_flag = _train_throughput(
+        n_chips, mesh,
+        {"backbone": {"name": "resnet12Bdc",
+                      "kwargs": {"num_channels": 1, "reduce_dim": 64}},
+         "classifier": {"name": "DeepBDC", "kwargs": None}},
+        e_per_chip=4, n_iters=4,
+    )
+
     print(
         json.dumps(
             {
@@ -160,6 +181,8 @@ def main() -> None:
                 "ragged_bucket_occupancy": round(occupancy, 3),
                 "flagship_deepbdc_eps_per_sec_per_chip": round(flag_per_chip, 2),
                 "flagship_mfu_vs_v5e_bf16_peak": round(flag_mfu, 3),
+                "train_proto_eps_per_sec_per_chip": round(train_proto, 2),
+                "train_flagship_eps_per_sec_per_chip": round(train_flag, 2),
             }
         ),
         file=sys.stderr,
@@ -175,9 +198,81 @@ def main() -> None:
                 "vs_baseline": round(per_chip / baseline_per_chip, 3),
                 "flagship_deepbdc_eps_per_sec_per_chip": round(flag_per_chip, 2),
                 "flagship_mfu": round(flag_mfu, 3),
+                "train_proto_eps_per_sec_per_chip": round(train_proto, 2),
+                "train_flagship_eps_per_sec_per_chip": round(train_flag, 2),
             }
         )
     )
+
+
+def _train_throughput(n_chips, mesh, model_cfg, e_per_chip, n_iters):
+    """Steady-state TRAIN-step episode throughput (eps/s/chip): full
+    fwd+bwd+SGD apply, salt-chained like the eval loops (VERDICT r4 #7 — a
+    train-path regression was previously invisible to the driver bench)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_fewshot_tpu.episode import make_dense_episode_batch
+    from audio_fewshot_tpu.models import build_method, train_setting
+    from audio_fewshot_tpu.optim import build_optimizer
+    from audio_fewshot_tpu.parallel import replicate, shard_batch
+
+    config = {
+        **model_cfg,
+        "modality": "audio",
+        "way_num": 5, "shot_num": 5, "query_num": 10,
+        "augment_times": 1,
+        "optimizer": {"name": "SGD", "kwargs": {"lr": 1e-3}},
+    }
+    method = build_method(config)
+    setting = train_setting(config)
+    optimizer = build_optimizer(config)
+
+    e = e_per_chip * n_chips
+    way, shot, query = 5, 5, 10
+    spec = (1, 128, 157)
+    rng = np.random.default_rng(3)
+    sup = rng.normal(size=(e, way * shot) + spec).astype(np.float32)
+    qry = rng.normal(size=(e, way * query) + spec).astype(np.float32)
+    dev_batch = shard_batch(
+        make_dense_episode_batch(sup, qry, way, shot, query), mesh
+    )
+    variables = method.init_variables(jax.random.PRNGKey(1), dev_batch, setting)
+    variables = jax.device_put(variables, replicate(mesh))
+    opt_state = jax.device_put(optimizer.init(variables["params"]), replicate(mesh))
+    lr_groups = optimizer.lr_tree(variables["params"], 1.0)
+
+    def train_step(variables, opt_state, batch, salt):
+        batch = batch.replace(support=batch.support + salt * 1e-12)
+        non_params = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            return method.loss(
+                {**non_params, "params": params}, batch, setting,
+                jax.random.PRNGKey(0),
+            )
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        params, opt_state = optimizer.apply(
+            grads, opt_state, variables["params"], lr_groups
+        )
+        new_vars = {**non_params, "params": params}
+        if out.updates:
+            new_vars = method.merge_updates(new_vars, out.updates)
+        return new_vars, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    s = jax.device_put(np.float32(1.0), replicate(mesh))
+    variables, opt_state, s = step(variables, opt_state, dev_batch, s)
+    float(s)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        variables, opt_state, s = step(variables, opt_state, dev_batch, s)
+    float(s)  # single forced sync
+    dt = time.perf_counter() - t0
+    return n_iters * e / dt / n_chips
 
 
 def _flagship_metrics(n_chips, mesh):

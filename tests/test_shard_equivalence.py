@@ -43,8 +43,10 @@ def _batches(n_steps, episodes=8):
     return out
 
 
-def _run(n_devices, batches):
+def _run(n_devices, batches, classifier=None):
     config = _config()
+    if classifier is not None:
+        config["classifier"] = classifier
     method = build_method(config)
     setting = train_setting(config)
     optimizer = build_optimizer(config)
@@ -127,6 +129,36 @@ def test_eval_accuracy_matches_across_mesh_sizes():
     np.testing.assert_array_equal(
         np.argmax(logits1, axis=-1), np.argmax(logits8, axis=-1)
     )
+
+
+def test_maml_matches_across_mesh_sizes():
+    """META-family on the mesh (VERDICT r4 next-round #4): MAML's
+    ``lax.scan`` inner loop with second-order outer gradients and
+    batch-stat BN, vmapped over a SHARDED episode axis.  Each episode
+    adapts locally on its device (per-episode BN stats — no cross-episode
+    reduction inside the inner loop), so 1-vs-8-device meshes must agree
+    to collective-reduction fp noise.  Ref semantics: maml.py:125-161."""
+    assert len(jax.devices()) >= 8
+    maml = {"name": "MAML", "kwargs": {
+        "inner_param": {"lr": 0.01, "train_iter": 2, "test_iter": 2},
+        "way_num": 3,
+    }}
+    batches = _batches(3)
+    losses1, logits1, params1 = _run(1, batches, classifier=maml)
+    losses8, logits8, params8 = _run(8, batches, classifier=maml)
+
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-3, atol=1e-2)
+    np.testing.assert_array_equal(
+        np.argmax(logits1, axis=-1), np.argmax(logits8, axis=-1)
+    )
+    flat1 = jax.tree_util.tree_leaves(params1)
+    flat8 = jax.tree_util.tree_leaves(params8)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
+        )
 
 
 def _renet_dual_batches(n_steps, episodes=8):
