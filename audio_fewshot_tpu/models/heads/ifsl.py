@@ -428,9 +428,17 @@ class IfslPretrain(FinetuningBase):
         # (matchingnetifsl_pretrain.py:17-19; the shipped YAML spells the
         # backbone knob 'emd_func_path').  Here the emb_func side goes
         # through the standard ``pretrain_path`` part flow; the classifier
-        # side loads a save_part msgpack (classifiers_best.pth) via this
+        # side loads a save_part msgpack (classifier_best.pth) via this
         # knob (use tools/convert_torch_checkpoint.py for torch files).
-        del emb_func_path, emd_func_path
+        if emb_func_path or emd_func_path:
+            import warnings
+
+            warnings.warn(
+                "IfslPretrain ignores emb_func_path/emd_func_path — load "
+                "the backbone part through the top-level `pretrain_path` "
+                "config key instead",
+                stacklevel=2,
+            )
         self.cls_classifier_path = cls_classifier_path
 
     def _init_head(self, variables, rngs, feats, example_batch, setting):
