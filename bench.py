@@ -169,7 +169,10 @@ def main() -> None:
         {"backbone": {"name": "resnet12Bdc",
                       "kwargs": {"num_channels": 1, "reduce_dim": 64}},
          "classifier": {"name": "DeepBDC", "kwargs": None}},
-        e_per_chip=4, n_iters=4,
+        # steady state is ~0.25 s/step at 4 eps/chip (16 eps/s/chip) — 12
+        # timed iters still cost ~3 s but ride out the multi-second tunnel
+        # stalls that made a 4-iter window report 0.8 eps/s (2026-08-21)
+        e_per_chip=4, n_iters=12,
     )
 
     print(

@@ -32,9 +32,8 @@ def _config():
     }
 
 
-def _batches(n_steps, episodes=8):
+def _batches(n_steps, episodes=8, spec=(1, 24, 30)):
     rng = np.random.default_rng(0)
-    spec = (1, 24, 30)
     out = []
     for _ in range(n_steps):
         sup = rng.normal(size=(episodes, 3 * 2) + spec).astype(np.float32)
@@ -43,10 +42,12 @@ def _batches(n_steps, episodes=8):
     return out
 
 
-def _run(n_devices, batches, classifier=None):
+def _run(n_devices, batches, classifier=None, backbone=None):
     config = _config()
     if classifier is not None:
         config["classifier"] = classifier
+    if backbone is not None:
+        config["backbone"] = backbone
     method = build_method(config)
     setting = train_setting(config)
     optimizer = build_optimizer(config)
@@ -146,6 +147,38 @@ def test_maml_matches_across_mesh_sizes():
     batches = _batches(3)
     losses1, logits1, params1 = _run(1, batches, classifier=maml)
     losses8, logits8, params8 = _run(8, batches, classifier=maml)
+
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-3, atol=1e-2)
+    np.testing.assert_array_equal(
+        np.argmax(logits1, axis=-1), np.argmax(logits8, axis=-1)
+    )
+    flat1 = jax.tree_util.tree_leaves(params1)
+    flat8 = jax.tree_util.tree_leaves(params8)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
+        )
+
+
+def test_cpea_vit_matches_across_mesh_sizes():
+    """Attention stack on the mesh: no transformer backbone had mesh
+    evidence before round 5 (shard-equivalence covered Conv64F only).
+    CPEANet's CPEALayer (ref cpea_net.py:81-133) over ViT token sequences
+    (ref vit_class_aware.py) exercises patch-embedding conv, MHSA with
+    learned cls/pos tokens, LayerNorms, and the L×L patch-similarity
+    scorer under episode-axis sharding — shapes a wrong PartitionSpec
+    could silently mis-tile (token axis vs episode axis)."""
+    assert len(jax.devices()) >= 8
+    vit = {"name": "VisionTransformer", "kwargs": {
+        "patch_size": 8, "embed_dim": 32, "depth": 2, "num_heads": 2,
+        "mlp_ratio": 2.0, "num_channels": 1,
+    }}
+    cpea = {"name": "CPEANet", "kwargs": {"in_dim": 32}}
+    batches = _batches(3, spec=(1, 24, 32))
+    losses1, logits1, params1 = _run(1, batches, classifier=cpea, backbone=vit)
+    losses8, logits8, params8 = _run(8, batches, classifier=cpea, backbone=vit)
 
     np.testing.assert_allclose(losses1, losses8, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(logits1, logits8, rtol=1e-3, atol=1e-2)
