@@ -160,6 +160,11 @@ class SwinTransformer(nn.Module):
     #: exact reference output (tests/test_torch_parity7.py)
     final_norm: bool = True
     num_channels: int = 1
+    #: per-block ``jax.checkpoint`` (flax ``nn.remat``) — see
+    #: VisionTransformer.remat; raises the practical episodes/batch on HBM
+    #: (a [1,96,144] swin_mini train step OOMs at 8 eps/chip without it,
+    #: BASELINE.md round-5 addendum)
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -178,8 +183,13 @@ class SwinTransformer(nn.Module):
                 n_, hf // f, wf // f, f * f * c_
             )
             x = nn.Dense(dim, dtype=self.dtype, name=f"merge{s}")(x)
+            # static_argnums: bound module is arg 0, ``train`` is arg 2
+            block_cls = (
+                nn.remat(SwinBlock, static_argnums=(2,))
+                if self.remat else SwinBlock
+            )
             for b in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim, num_heads=heads, window_size=self.window_size,
                     head_dim=self.head_dim,
                     shift=0 if b % 2 == 0 else self.window_size // 2,

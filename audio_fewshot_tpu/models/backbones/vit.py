@@ -74,6 +74,11 @@ class VisionTransformer(nn.Module):
     #: exact reference-output semantics (converted-checkpoint parity)
     pool: str = "cls"
     final_norm: bool = True
+    #: per-block ``jax.checkpoint`` (flax ``nn.remat``): store only block
+    #: boundaries on the fwd pass and recompute internals during bwd —
+    #: trades ~1 extra fwd of FLOPs for O(depth) less activation HBM.
+    #: Parameter names are unchanged, so converted checkpoints still load.
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -98,8 +103,14 @@ class VisionTransformer(nn.Module):
         x = x + pos
         x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
 
+        # static_argnums counts the bound module as arg 0, so ``train``
+        # (a python bool steering Dropout determinism) is arg 2
+        block_cls = (
+            nn.remat(TransformerBlock, static_argnums=(2,))
+            if self.remat else TransformerBlock
+        )
         for i in range(self.depth):
-            x = TransformerBlock(
+            x = block_cls(
                 dim=self.embed_dim, num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
                 ln_eps=self.ln_eps, dtype=self.dtype, name=f"block{i}",
