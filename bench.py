@@ -169,10 +169,11 @@ def main() -> None:
         {"backbone": {"name": "resnet12Bdc",
                       "kwargs": {"num_channels": 1, "reduce_dim": 64}},
          "classifier": {"name": "DeepBDC", "kwargs": None}},
-        # steady state is ~0.25 s/step at 4 eps/chip (16 eps/s/chip) — 12
-        # timed iters still cost ~3 s but ride out the multi-second tunnel
-        # stalls that made a 4-iter window report 0.8 eps/s (2026-08-21)
-        e_per_chip=4, n_iters=12,
+        # batch sweep (2026-08-21): 16.2 eps/s @ 4 eps/chip, 18.2 @ 8,
+        # 16.4 @ 16 — 8 is the train saturation point (eval saturates at
+        # 16).  12 timed iters (~5 s) ride out the multi-second tunnel
+        # stalls that made a 4-iter window report 0.8 eps/s.
+        e_per_chip=8, n_iters=12,
     )
 
     print(
@@ -268,7 +269,11 @@ def _train_throughput(n_chips, mesh, model_cfg, e_per_chip, n_iters):
 
     step = jax.jit(train_step, donate_argnums=(0, 1))
     s = jax.device_put(np.float32(1.0), replicate(mesh))
-    variables, opt_state, s = step(variables, opt_state, dev_batch, s)
+    # 3 warm steps: through the tunnel the first few EXECUTIONS of a big
+    # train executable run ~2× slow (server-side warmup; per-iter probe
+    # 2026-08-21: iters 0-4 at 0.94 s, then 0.44 s steady)
+    for _ in range(3):
+        variables, opt_state, s = step(variables, opt_state, dev_batch, s)
     float(s)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(n_iters):
