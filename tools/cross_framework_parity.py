@@ -2142,3 +2142,44 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def invert_metal_per_step_params(variables) -> Dict[str, np.ndarray]:
+    """flax MeTAL faithful path (heads/metal.py ``PerStepLossNet`` /
+    ``PerStepLossAdapter`` — per-step parameter sets STACKED on a leading
+    step axis) → the reference's per-step module tree (metal.py:283-367):
+    ``MetaLossNetwork`` keys ``layer_dict.step{i}.linear{1,2}.{weights,bias}``
+    (``MetaLinearLayer`` stores torch-layout (out,in) under ``weights``) and
+    ``LossAdapter`` keys ``loss_adapter.{i}.linear{1,2}.{weight,bias}`` +
+    ``{multiplier,offset}_bias``."""
+    out: Dict[str, np.ndarray] = {}
+    p = variables["params"]
+    for name in ("meta_loss", "meta_query_loss"):
+        sub = p[name]
+        for i in range(np.asarray(sub["w1"]).shape[0]):
+            pre = f"{name}.layer_dict.step{i}"
+            out[f"{pre}.linear1.weights"] = np.ascontiguousarray(
+                np.asarray(sub["w1"])[i].T
+            )
+            out[f"{pre}.linear1.bias"] = np.asarray(sub["b1"])[i]
+            out[f"{pre}.linear2.weights"] = np.ascontiguousarray(
+                np.asarray(sub["w2"])[i].T
+            )
+            out[f"{pre}.linear2.bias"] = np.asarray(sub["b2"])[i]
+    for name in ("meta_loss_adapter", "meta_query_loss_adapter"):
+        sub = p[name]
+        for i in range(np.asarray(sub["w1"]).shape[0]):
+            pre = f"{name}.loss_adapter.{i}"
+            out[f"{pre}.linear1.weight"] = np.ascontiguousarray(
+                np.asarray(sub["w1"])[i].T
+            )
+            out[f"{pre}.linear1.bias"] = np.asarray(sub["b1"])[i]
+            out[f"{pre}.linear2.weight"] = np.ascontiguousarray(
+                np.asarray(sub["w2"])[i].T
+            )
+            out[f"{pre}.linear2.bias"] = np.asarray(sub["b2"])[i]
+            out[f"{pre}.multiplier_bias"] = np.asarray(
+                sub["multiplier_bias"]
+            )[i]
+            out[f"{pre}.offset_bias"] = np.asarray(sub["offset_bias"])[i]
+    return out
