@@ -194,6 +194,38 @@ def test_cpea_vit_matches_across_mesh_sizes():
         )
 
 
+def test_metal_per_step_matches_across_mesh_sizes():
+    """MeTAL's faithful per-step path on the mesh: stacked per-step
+    loss-net/adapter parameters gathered by the traced ``lax.scan`` step
+    index, inside a vmapped second-order inner loop over a SHARDED episode
+    axis (heads/metal.py PerStepLossNet/PerStepLossAdapter; reference
+    metal.py:239-391).  A wrong PartitionSpec on the stacked step axis
+    (or on the masked query-bucket reductions) would shift every inner
+    gradient."""
+    assert len(jax.devices()) >= 8
+    metal = {"name": "MeTAL", "kwargs": {
+        "inner_param": {"lr": 0.01, "train_iter": 2, "test_iter": 2,
+                        "per_step_adapters": True},
+        "way_num": 3,
+    }}
+    batches = _batches(2)
+    losses1, logits1, params1 = _run(1, batches, classifier=metal)
+    losses8, logits8, params8 = _run(8, batches, classifier=metal)
+
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-3, atol=1e-2)
+    np.testing.assert_array_equal(
+        np.argmax(logits1, axis=-1), np.argmax(logits8, axis=-1)
+    )
+    flat1 = jax.tree_util.tree_leaves(params1)
+    flat8 = jax.tree_util.tree_leaves(params8)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
+        )
+
+
 def _renet_dual_batches(n_steps, episodes=8):
     from audio_fewshot_tpu.episode import DualBatch, FlatBatch
 
